@@ -1,0 +1,105 @@
+"""Host->device input pipeline (replaces torch DataLoader workers,
+reference train.py:207-222).
+
+A background thread assembles NHWC numpy batches and eagerly dispatches
+``jax.device_put`` so transfers overlap the device step (double buffering);
+the consumer pops ready device batches from a bounded queue. With a sharding,
+batches land directly in the data-parallel layout (no per-rank DataLoader or
+DistributedSampler needed — the global batch is sharded over the mesh).
+"""
+
+import queue
+import threading
+
+import jax
+import numpy as np
+
+
+def _to_batch(items):
+    """items: list of HW arrays or tuples of HW arrays -> NHWC array(s)."""
+    if isinstance(items[0], tuple):
+        n = len(items[0])
+        return tuple(
+            np.stack([it[i] for it in items])[..., None] for i in range(n))
+    return np.stack(items)[..., None]
+
+
+class Feeder:
+    """Iterates a dataset in batches of NHWC device arrays.
+
+    Args:
+      dataset: indexable dataset returning HW arrays or tuples of them.
+      batch_size: global batch size.
+      shuffle: reshuffle indices each epoch (numpy RNG, seeded).
+      drop_last: drop the final partial batch (recommended for jit'd train
+        loops: keeps shapes static).
+      sharding: optional `jax.sharding.Sharding` for the batch (data-parallel
+        placement); defaults to the default device.
+      prefetch: queue depth of in-flight device batches.
+    """
+
+    def __init__(self,
+                 dataset,
+                 batch_size,
+                 shuffle=False,
+                 drop_last=False,
+                 sharding=None,
+                 seed=0,
+                 prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last \
+            else n
+        for i in range(0, stop, self.batch_size):
+            items = [self.dataset[int(j)] for j in idx[i:i + self.batch_size]]
+            yield _to_batch(items)
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            try:
+                for batch in self._batches():
+                    if self.sharding is not None:
+                        batch = jax.tree.map(
+                            lambda x: jax.device_put(x, self.sharding), batch)
+                    else:
+                        batch = jax.tree.map(jax.device_put, batch)
+                    q.put(batch)
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        t.join()

@@ -1,0 +1,672 @@
+"""Network block library (TPU re-design of reference core/block.py).
+
+Every block is a flax module over NHWC arrays. String-configured norms/acts
+are resolved at trace time; all control flow is static, so each block lowers
+to a single fused XLA computation. `train` is threaded to batch-norm-bearing
+blocks.
+
+Block -> reference mapping (file:line in /root/reference/core/block.py):
+  ResBlock 121-134, DenseBlock 137-151, SepConvBlock 154-227,
+  MixConvBlock 229-283, Res2ConvBlock 286-352, Attention 355-434,
+  FFN 437-457, Scale 460-469, (Channel)LayerNorm 472-500,
+  MetaFormerBlock 503-540 (+ConvFormer/MixFormer/Res2Former/Transformer
+  543-617), TransitionBlock 620-664, DCBlock 667-705, ConvBlock 708-722,
+  ECB 725-728, DCB 731-734, RFN 737-759, NestEncoder 762-797,
+  Decoder 800-814, LSDecoder 817-833, NestDecoder 836-867, FSDecoder 870-938,
+  Downsample 941-962, Upsample 965-991.
+"""
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .fusion import concat_fusion
+from .layers import (ChannelLayerNorm, ConvLayer, apply_norm, avg_pool,
+                     get_act, interpolate, make_norm, max_pool, pad2d)
+
+__all__ = [
+    "ConvLayer", "ResBlock", "DenseBlock", "SepConvBlock", "MixConvBlock",
+    "Res2ConvBlock", "Attention", "ConvFormerBlock", "MixFormerBlock",
+    "Res2FormerBlock", "TransformerBlock", "TransitionBlock", "DCBlock",
+    "ConvBlock", "ECB", "DCB", "RFN", "NestEncoder", "Decoder", "LSDecoder",
+    "NestDecoder", "FSDecoder", "Downsample", "Upsample",
+]
+
+
+class ResBlock(nn.Module):
+    """Two convs + identity add (SEDRFuse, DIFNet)."""
+
+    out_ch: int
+    norm1: Optional[str] = None
+    norm2: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = ConvLayer(self.out_ch, norm=self.norm1)(x, train)
+        y = ConvLayer(self.out_ch, norm=self.norm2, act=None)(y, train)
+        return y + x
+
+
+class DenseBlock(nn.Module):
+    """DenseNet-style growth: out channels = in + num_convs*out_ch
+    (PFNet, DenseFuse, VIFNet, DBNet)."""
+
+    out_ch: int
+    num_convs: int = 3
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        for i in range(self.num_convs):
+            y = ConvLayer(self.out_ch, name=f"conv{i}")(x, train)
+            x = concat_fusion((x, y))
+        return x
+
+
+class SepConvBlock(nn.Module):
+    """pw-expand -> dw -> pw inverted bottleneck with optional residual
+    shortcut and attention gate."""
+
+    out_ch: int
+    scale: int = 4
+    ksize: int = 3
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[str] = "relu6"
+    residual: bool = True
+    attention: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        hid_ch = in_ch * self.scale
+        kw = dict(use_bias=self.use_bias, norm=self.norm)
+
+        if self.residual:
+            if in_ch != self.out_ch:
+                res = ConvLayer(self.out_ch, ksize=1, act=None,
+                                name="shortcut", **kw)(x, train)
+            else:
+                res = x
+        if self.attention:
+            attn = ConvLayer(hid_ch, ksize=1, act=self.act, name="pwconv",
+                             **kw)(x, train)
+
+        out = ConvLayer(hid_ch, ksize=1, act=self.act, name="pwconv1",
+                        **kw)(x, train)
+        out = ConvLayer(hid_ch, ksize=self.ksize, groups=hid_ch, act=None,
+                        name="dwconv", **kw)(out, train)
+        if self.attention:
+            out = out * attn
+        out = ConvLayer(self.out_ch, ksize=1, act=None, name="pwconv2",
+                        **kw)(out, train)
+        if self.residual:
+            out = out + res
+        return get_act(self.act)(out)
+
+
+class MixConvBlock(nn.Module):
+    """MixConv: expanded channels chunked into `scale` groups, each dw-conved
+    with kernel size 1,3,5,7,..."""
+
+    out_ch: int
+    scale: int = 4
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[str] = "relu6"
+    residual: bool = True
+    attention: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        hid_ch = in_ch * self.scale
+        width = in_ch
+        kw = dict(use_bias=self.use_bias, norm=self.norm)
+
+        if self.residual:
+            if in_ch != self.out_ch:
+                res = ConvLayer(self.out_ch, ksize=1, act=None,
+                                name="shortcut", **kw)(x, train)
+            else:
+                res = x
+        if self.attention:
+            attn = ConvLayer(hid_ch, ksize=1, act=self.act, name="pwconv",
+                             **kw)(x, train)
+
+        h = ConvLayer(hid_ch, ksize=1, act=self.act, name="pwconv1",
+                      **kw)(x, train)
+        xs = jnp.split(h, self.scale, axis=-1)
+        ys = [
+            ConvLayer(width, ksize=2 * i + 1, groups=width, act=None,
+                      name=f"dwconv{i}", **kw)(xs[i], train)
+            for i in range(self.scale)
+        ]
+        out = concat_fusion(ys) if self.scale > 1 else ys[0]
+
+        if self.attention:
+            out = out * attn
+        out = ConvLayer(self.out_ch, ksize=1, act=None, name="pwconv2",
+                        **kw)(out, train)
+        if self.residual:
+            out = out + res
+        return get_act(self.act)(out)
+
+
+class Res2ConvBlock(nn.Module):
+    """Res2Net-style hierarchical chunks: group i adds group i-1's conv
+    output before its own dw conv (groups 0 and 1 do not chain —
+    reference block.py:338 quirk preserved)."""
+
+    out_ch: int
+    scale: int = 4
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[str] = "relu6"
+    residual: bool = True
+    attention: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        hid_ch = in_ch * self.scale
+        width = in_ch
+        kw = dict(use_bias=self.use_bias, norm=self.norm)
+
+        if self.residual:
+            if in_ch != self.out_ch:
+                res = ConvLayer(self.out_ch, ksize=1, act=None,
+                                name="shortcut", **kw)(x, train)
+            else:
+                res = x
+        if self.attention:
+            attn = ConvLayer(hid_ch, ksize=1, act=self.act, name="pwconv",
+                             **kw)(x, train)
+
+        h = ConvLayer(hid_ch, ksize=1, act=self.act, name="pwconv1",
+                      **kw)(x, train)
+        xs = jnp.split(h, self.scale, axis=-1)
+        outs = []
+        y = None
+        for i in range(self.scale):
+            y = xs[i] if i <= 1 else y + xs[i]
+            y = ConvLayer(width, ksize=3 if i > 0 else 1, groups=width,
+                          act=None, name=f"dwconv{i}", **kw)(y, train)
+            outs.append(y)
+        out = concat_fusion(outs) if self.scale > 1 else outs[0]
+
+        if self.attention:
+            out = out * attn
+        out = ConvLayer(self.out_ch, ksize=1, act=None, name="pwconv2",
+                        **kw)(out, train)
+        if self.residual:
+            out = out + res
+        return get_act(self.act)(out)
+
+
+class Attention(nn.Module):
+    """PVT-style spatial-reduction multi-head self-attention over H*W tokens.
+
+    K/V are computed from a spatially `sr_ratio`-downsampled map (strided dw
+    conv or avg pool), so the attention matmul is (HW) x (HW/sr^2) — both
+    matmuls land on the MXU via einsum.
+    """
+
+    out_ch: int
+    num_heads: Optional[int] = None
+    qkv_bias: bool = False
+    proj_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[str] = None
+    sr_ratio: Optional[int] = None
+    down_mode: str = "stride"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        b, h, w, in_ch = x.shape
+        num_heads = self.num_heads if self.num_heads else in_ch // 16
+        head_dim = in_ch // num_heads
+        att_dim = num_heads * head_dim
+        scale = head_dim ** -0.5
+        sr = self.sr_ratio if self.sr_ratio else 16 // (in_ch // 16)
+
+        q = ConvLayer(att_dim, ksize=1, use_bias=self.qkv_bias,
+                      norm=self.norm, act=self.act, name="q")(x, train)
+
+        if sr > 1:
+            if self.down_mode == "stride":
+                x_pool = ConvLayer(in_ch, ksize=sr, stride=sr, padding=0,
+                                   groups=in_ch, use_bias=False,
+                                   norm=self.norm, act=self.act,
+                                   name="pool")(x, train)
+            elif self.down_mode == "avgpool":
+                x_pool = avg_pool(x, sr, sr)
+            else:
+                raise ValueError(self.down_mode)
+        else:
+            x_pool = x
+
+        k = ConvLayer(att_dim, ksize=1, use_bias=self.qkv_bias,
+                      norm=self.norm, act=self.act, name="k")(x_pool, train)
+        v = ConvLayer(att_dim, ksize=1, use_bias=self.qkv_bias,
+                      norm=self.norm, act=self.act, name="v")(x_pool, train)
+
+        # NHWC channel vector c = head*head_dim + d (same layout as the
+        # reference's NCHW flatten+reshape, block.py:419-426)
+        q = q.reshape(b, h * w, num_heads, head_dim)
+        k = k.reshape(b, -1, num_heads, head_dim)
+        v = v.reshape(b, -1, num_heads, head_dim)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, h, w, att_dim)
+        return ConvLayer(self.out_ch, ksize=1, use_bias=self.proj_bias,
+                         norm=self.norm, act=self.act, name="proj")(out,
+                                                                    train)
+
+
+class FFN(nn.Module):
+    """Conv-FFN: pw-expand -> dw3 -> pw-project (reference block.py:437-457).
+    Unlike SepConvBlock, the dw conv keeps its activation."""
+
+    scale: int = 4
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[str] = "relu6"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        num_ch = x.shape[-1]
+        hid_ch = num_ch * self.scale
+        kw = dict(use_bias=self.use_bias, norm=self.norm)
+        y = ConvLayer(hid_ch, ksize=1, act=self.act, name="pw1", **kw)(x,
+                                                                       train)
+        y = ConvLayer(hid_ch, ksize=3, groups=hid_ch, act=self.act,
+                      name="dw", **kw)(y, train)
+        return ConvLayer(num_ch, ksize=1, act=None, name="pw2", **kw)(y,
+                                                                      train)
+
+
+class Scale(nn.Module):
+    """Learnable per-channel scale (reference block.py:460-469)."""
+
+    num_ch: int
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param(
+            "scale",
+            lambda key, shape: jnp.full(shape, self.init_value, jnp.float32),
+            (self.num_ch,))
+        return s * x
+
+
+class MetaFormerBlock(nn.Module):
+    """norm -> token mixer -> (layer/res scale) -> norm -> FFN skeleton.
+
+    `mixer` selects the token mixer: 'sep' | 'mix' | 'res2' | 'attn' | None
+    (identity). The four concrete Former blocks below fix the mixer and use
+    batch norm + ReLU6, as the reference's subclasses do.
+    """
+
+    out_ch: int
+    mixer: Optional[str] = None
+    norm_layer: Optional[str] = "layer"
+    act_layer: Optional[str] = None
+    layer_scale: Optional[float] = None
+    res_scale: Optional[float] = None
+
+    def _make_mixer(self):
+        if self.mixer is None:
+            return None
+        if self.mixer == "sep":
+            return SepConvBlock(self.out_ch, residual=True, attention=False,
+                                name="token_mixer")
+        if self.mixer == "mix":
+            return MixConvBlock(self.out_ch, residual=True, attention=False,
+                                name="token_mixer")
+        if self.mixer == "res2":
+            return Res2ConvBlock(self.out_ch, residual=True, attention=False,
+                                 name="token_mixer")
+        if self.mixer == "attn":
+            return Attention(self.out_ch, name="token_mixer")
+        raise ValueError(f"unknown mixer {self.mixer!r}")
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        act = get_act(self.act_layer)
+        in_ch = x.shape[-1]
+
+        def scaled(name, value, ch, y):
+            if value:
+                return Scale(ch, value, name=name)(y)
+            return y
+
+        norm1 = make_norm(self.norm_layer, in_ch, name="norm1")
+        mixer = self._make_mixer()
+        h = apply_norm(norm1, x, train) if norm1 is not None else x
+        h = mixer(h, train) if mixer is not None else h
+        out = act(scaled("layer_scale1", self.layer_scale, self.out_ch, h) +
+                  scaled("res_scale1", self.res_scale, self.out_ch, x))
+
+        norm2 = make_norm(self.norm_layer, self.out_ch, name="norm2")
+        h2 = apply_norm(norm2, out, train) if norm2 is not None else out
+        h2 = FFN(name="ffn")(h2, train)
+        out = act(scaled("layer_scale2", self.layer_scale, self.out_ch, h2) +
+                  scaled("res_scale2", self.res_scale, self.out_ch, out))
+        return out
+
+
+class ConvFormerBlock(MetaFormerBlock):
+    mixer: Optional[str] = "sep"
+    norm_layer: Optional[str] = "batch"
+    act_layer: Optional[str] = "relu6"
+
+
+class MixFormerBlock(MetaFormerBlock):
+    mixer: Optional[str] = "mix"
+    norm_layer: Optional[str] = "batch"
+    act_layer: Optional[str] = "relu6"
+
+
+class Res2FormerBlock(MetaFormerBlock):
+    mixer: Optional[str] = "res2"
+    norm_layer: Optional[str] = "batch"
+    act_layer: Optional[str] = "relu6"
+
+
+class TransformerBlock(MetaFormerBlock):
+    mixer: Optional[str] = "attn"
+    norm_layer: Optional[str] = "batch"
+    act_layer: Optional[str] = "relu6"
+
+
+class TransitionBlock(nn.Module):
+    """Downsampling transition: maxpool+pw or strided-dw+pw."""
+
+    out_ch: int
+    stride: int = 2
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[str] = "relu6"
+    down_mode: str = "stride"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        kw = dict(use_bias=self.use_bias, norm=self.norm, act=self.act)
+        if self.down_mode == "maxpool":
+            if self.stride > 1:
+                x = max_pool(x, self.stride, self.stride)
+            return ConvLayer(self.out_ch, ksize=1, name="pw", **kw)(x, train)
+        elif self.down_mode == "stride":
+            x = ConvLayer(in_ch, ksize=self.stride, stride=self.stride,
+                          padding=0, groups=in_ch, name="dw", **kw)(x, train)
+            return ConvLayer(self.out_ch, ksize=1, name="pw", **kw)(x, train)
+        raise ValueError(self.down_mode)
+
+
+class DCBlock(nn.Module):
+    """pw -> dw -> pw decoder bottleneck (hid = in//2)."""
+
+    out_ch: int
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[str] = "relu6"
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        hid_ch = in_ch // 2
+        kw = dict(use_bias=self.use_bias, norm=self.norm)
+        y = ConvLayer(hid_ch, ksize=1, act=self.act, name="pw1", **kw)(x,
+                                                                       train)
+        y = ConvLayer(hid_ch, ksize=3, groups=hid_ch, act=self.act,
+                      name="dw", **kw)(y, train)
+        y = ConvLayer(self.out_ch, ksize=1, act=None, name="pw2", **kw)(y,
+                                                                        train)
+        if self.residual:
+            if in_ch != self.out_ch:
+                res = ConvLayer(self.out_ch, ksize=1, act=None,
+                                name="shortcut", **kw)(x, train)
+            else:
+                res = x
+            y = y + res
+        return get_act(self.act)(y)
+
+
+class ConvBlock(nn.Module):
+    """3x3 -> 1x1 two-conv block, hid = in//2 (NestFuse, RFNNest,
+    MAFusion)."""
+
+    out_ch: int
+    ksize1: int = 3
+    ksize2: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        hid_ch = x.shape[-1] // 2
+        y = ConvLayer(hid_ch, ksize=self.ksize1, name="conv1")(x, train)
+        return ConvLayer(self.out_ch, ksize=self.ksize2, name="conv2")(y,
+                                                                       train)
+
+
+class ECB(ConvBlock):
+    """1x1 -> 3x3 (UNFusion encoder block)."""
+    ksize1: int = 1
+    ksize2: int = 3
+
+
+class DCB(ConvBlock):
+    """3x3 -> 3x3 (UNFusion decoder block)."""
+    ksize1: int = 3
+    ksize2: int = 3
+
+
+class RFN(nn.Module):
+    """Residual fusion network (RFN-Nest): learned two-input fusion."""
+
+    num_ch: int
+
+    @nn.compact
+    def __call__(self, x1, x2, train=False):
+        f_res = ConvLayer(self.num_ch, name="res")(concat_fusion((x1, x2)),
+                                                   train)
+        f1 = ConvLayer(self.num_ch, name="conv1")(x1, train)
+        f2 = ConvLayer(self.num_ch, name="conv2")(x2, train)
+        y = concat_fusion((f1, f2))
+        y = ConvLayer(self.num_ch, ksize=1, name="fuse1")(y, train)
+        y = ConvLayer(self.num_ch, name="fuse2")(y, train)
+        y = ConvLayer(self.num_ch, name="fuse3")(y, train)
+        return y + f_res
+
+
+class NestEncoder(nn.Module):
+    """UNFusion's dense multi-scale encoder grid (EB2_1..EB4_3) with
+    cross-scale downsampled concats."""
+
+    block: Callable            # module factory f(out_ch, name=...)
+    in_ch: Sequence[int]
+    out_ch: Sequence[int]
+    down_mode: str = "stride"
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        blk = self.block
+        in_ch, out_ch = self.in_ch, self.out_ch
+
+        def down(ch, name, x):
+            if self.down_mode == "maxpool":
+                return max_pool(x, 2, 2)
+            return ConvLayer(ch, stride=2, name=name)(x, train)
+
+        x2_1 = blk(out_ch[1], name="EB2_1")(concat_fusion(feats[1]), train)
+        x3_1 = blk(in_ch[2] * 2, name="EB3_1")(concat_fusion(feats[2]), train)
+        x4_1 = blk(in_ch[3] * 2, name="EB4_1")(concat_fusion(feats[3]), train)
+
+        x3_2 = blk(out_ch[2], name="EB3_2")(
+            concat_fusion((feats[2][0], x3_1, down(out_ch[1], "down1",
+                                                   x2_1))), train)
+        x4_2 = blk(in_ch[3] * 4 + in_ch[2], name="EB4_2")(
+            concat_fusion((feats[3][0], x4_1, down(in_ch[2] * 2, "down2",
+                                                   x3_1))), train)
+
+        x4_3 = blk(out_ch[3], name="EB4_3")(
+            concat_fusion((feats[3][0], x4_1, x4_2,
+                           down(out_ch[2], "down3", x3_2))), train)
+
+        return feats[0], x2_1, x3_2, x4_3
+
+
+class Downsample(nn.Module):
+    """Max-pool downsample + reflect-pad-to-shape repair for odd sizes."""
+
+    kernel_size: int = 2
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, feat, shape):
+        out = max_pool(feat, self.kernel_size, self.stride)
+        return pad_to(out, shape)
+
+
+class Upsample(nn.Module):
+    """Nearest / bilinear(align_corners=True) upsample + reflect-pad-to-shape
+    repair — the shape-safe resample pair that makes odd-sized full-res
+    inference work (reference block.py:941-991)."""
+
+    mode: str = "bilinear"
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, feat, shape=None):
+        out = interpolate(feat, self.scale_factor, self.mode)
+        if shape is None:
+            return out
+        return pad_to(out, shape)
+
+
+def pad_to(feat, shape):
+    """Reflect-pad NHWC `feat` up to target H,W from `shape` (an NHWC shape
+    tuple or (h, w))."""
+    if len(shape) >= 3:
+        th, tw = shape[-3], shape[-2]
+    else:
+        th, tw = shape
+    fh, fw = feat.shape[-3], feat.shape[-2]
+    if (fh, fw) == (th, tw):
+        return feat
+    pad_h = th - fh
+    pad_w = tw - fw
+    ph1, pw1 = pad_h // 2, pad_w // 2
+    ph2, pw2 = pad_h - ph1, pad_w - pw1
+    return pad2d(feat, (pw1, pw2, ph1, ph2), "reflect")
+
+
+class Decoder(nn.Module):
+    """Plain up-path decoder."""
+
+    block: Callable
+    num_ch: Sequence[int]
+    up_mode: str = "bilinear"
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        up = Upsample(self.up_mode, 2, name="up")
+        y3 = self.block(self.num_ch[2], name="DB3")(
+            up(feats[3], feats[2].shape), train)
+        y2 = self.block(self.num_ch[1], name="DB2")(
+            up(y3, feats[1].shape), train)
+        y1 = self.block(self.num_ch[0], name="DB1")(
+            up(y2, feats[0].shape), train)
+        return y1
+
+
+class LSDecoder(nn.Module):
+    """U-Net long-skip decoder."""
+
+    block: Callable
+    num_ch: Sequence[int]
+    up_mode: str = "bilinear"
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        up = Upsample(self.up_mode, 2, name="up")
+        y3 = self.block(self.num_ch[2], name="DB3")(
+            concat_fusion((feats[2], up(feats[3], feats[2].shape))), train)
+        y2 = self.block(self.num_ch[1], name="DB2")(
+            concat_fusion((feats[1], up(y3, feats[1].shape))), train)
+        y1 = self.block(self.num_ch[0], name="DB1")(
+            concat_fusion((feats[0], up(y2, feats[0].shape))), train)
+        return y1
+
+
+class NestDecoder(nn.Module):
+    """U-Net++ nested decoder."""
+
+    block: Callable
+    num_ch: Sequence[int]
+    up_mode: str = "bilinear"
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        up = Upsample(self.up_mode, 2, name="up")
+        blk = self.block
+        x1_1 = blk(self.num_ch[0], name="DB1_1")(
+            concat_fusion((feats[0], up(feats[1], feats[0].shape))), train)
+        x2_1 = blk(self.num_ch[1], name="DB2_1")(
+            concat_fusion((feats[1], up(feats[2], feats[1].shape))), train)
+        x3_1 = blk(self.num_ch[2], name="DB3_1")(
+            concat_fusion((feats[2], up(feats[3], feats[2].shape))), train)
+
+        x1_2 = blk(self.num_ch[0], name="DB1_2")(
+            concat_fusion((feats[0], x1_1, up(x2_1, x1_1.shape))), train)
+        x2_2 = blk(self.num_ch[1], name="DB2_2")(
+            concat_fusion((feats[1], x2_1, up(x3_1, x2_1.shape))), train)
+
+        x1_3 = blk(self.num_ch[0], name="DB1_3")(
+            concat_fusion((feats[0], x1_1, x1_2, up(x2_2, x1_2.shape))),
+            train)
+        return x1_3
+
+
+class FSDecoder(nn.Module):
+    """U-Net3+ full-scale decoder."""
+
+    block: Callable
+    num_ch: Sequence[int]
+    up_mode: str = "bilinear"
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        blk = self.block
+        down1 = Downsample(2, 2, name="down1")
+        down2 = Downsample(4, 4, name="down2")
+        up1 = Upsample(self.up_mode, 2, name="up1")
+        up2 = Upsample(self.up_mode, 4, name="up2")
+        up3 = Upsample(self.up_mode, 8, name="up3")
+
+        x1_3 = down2(feats[0], feats[2].shape)
+        x2_3 = down1(feats[1], feats[2].shape)
+        x4_3 = up1(feats[3], feats[2].shape)
+        y3 = blk(self.num_ch[2], name="DB3")(
+            concat_fusion((x1_3, x2_3, feats[2], x4_3)), train)
+
+        x1_2 = down1(feats[0], feats[1].shape)
+        x3_2 = up1(y3, feats[1].shape)
+        x4_2 = up2(feats[3], feats[1].shape)
+        y2 = blk(self.num_ch[1], name="DB2")(
+            concat_fusion((x1_2, feats[1], x3_2, x4_2)), train)
+
+        x2_1 = up1(y2, feats[0].shape)
+        x3_1 = up2(y3, feats[0].shape)
+        x4_1 = up3(feats[3], feats[0].shape)
+        y1 = blk(self.num_ch[0], name="DB1")(
+            concat_fusion((feats[0], x2_1, x3_1, x4_1)), train)
+        return y1

@@ -1,0 +1,161 @@
+"""Training-free fusion strategies (reference core/fusion.py, NHWC re-design).
+
+All eight strategies are pure jnp functions of NHWC feature maps; the string
+dispatch is resolved at Python trace time (static under jit), so each model
+compiles to a single fused XLA graph with no data-dependent control flow.
+
+channel axis: -1 (torch ref uses dim=1 in NCHW).
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "element_fusion", "weighted_fusion", "concat_fusion", "attention_fusion",
+    "spatial_fusion", "channel_fusion", "spatial_pooling", "channel_pooling",
+]
+
+eps = 1e-7
+
+
+def element_fusion(t1, t2, mode="sum"):
+    """reference core/fusion.py:21-29"""
+    if mode == "sum":
+        return t1 + t2
+    elif mode == "mean":
+        return (t1 + t2) / 2.0
+    elif mode == "max":
+        return jnp.maximum(t1, t2)
+    raise ValueError("only supported ['sum', 'mean', 'max'] mode")
+
+
+def weighted_fusion(t1, t2, w1, w2):
+    """reference core/fusion.py:32-35"""
+    w = w1 / jnp.clip(w1 + w2, eps, None)
+    return w * t1 + (1.0 - w) * t2
+
+
+def concat_fusion(tensors, axis=-1):
+    """reference core/fusion.py:38-39 (dim=1 in NCHW == -1 in NHWC)"""
+    return jnp.concatenate(tensors, axis=axis)
+
+
+def attention_fusion(t1, t2, mode="sca", spatial_mode="l1",
+                     channel_mode="avg"):
+    """reference core/fusion.py:42-59"""
+    f_spatial = spatial_fusion(t1, t2, spatial_mode, softmax=False)
+    f_channel = channel_fusion(t1, t2, channel_mode, softmax=False)
+
+    if mode == "sa":
+        return f_spatial
+    elif mode == "ca":
+        return f_channel
+    elif mode == "sca":
+        return element_fusion(f_spatial, f_channel, "mean")
+    elif mode == "wavg":
+        return weighted_fusion(f_spatial, f_channel, f_spatial, f_channel)
+    raise ValueError("only supported ['sa', 'ca', 'sca', 'wavg'] mode")
+
+
+def spatial_fusion(t1, t2, mode="l1", softmax=True):
+    """reference core/fusion.py:62-70"""
+    s1 = spatial_pooling(t1, mode)
+    s2 = spatial_pooling(t2, mode)
+    if softmax:
+        s1 = jnp.exp(s1)
+        s2 = jnp.exp(s2)
+    return weighted_fusion(t1, t2, s1, s2)
+
+
+def channel_fusion(t1, t2, mode="avg", softmax=True):
+    """reference core/fusion.py:73-81"""
+    c1 = channel_pooling(t1, mode)
+    c2 = channel_pooling(t2, mode)
+    if softmax:
+        c1 = jnp.exp(c1)
+        c2 = jnp.exp(c2)
+    return weighted_fusion(t1, t2, c1, c2)
+
+
+def _avg_pool8(x):
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 8, 8, 1), (1, 8, 8, 1),
+                              "VALID")
+    return s / 64.0
+
+
+def spatial_pooling(t, mode="l1"):
+    """Per-pixel channel pooling -> (N,H,W,1) map, or the 'nl' non-local
+    spatial attention (reference core/fusion.py:84-117)."""
+    if mode == "sum":
+        return t.sum(axis=-1, keepdims=True)
+    elif mode == "mean":
+        return t.mean(axis=-1, keepdims=True)
+    elif mode == "l1":
+        return jnp.abs(t).sum(axis=-1, keepdims=True)
+    elif mode == "l2":
+        return jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True))
+    elif mode == "linf":
+        return t.max(axis=-1, keepdims=True)
+
+    elif mode == "nl":
+        # q: [B,HW,C] x k: [B,HW/64,C] -> energy [B,HW,HW/64]; min-max
+        # normalized, softmaxed, applied to pooled v. At full resolution this
+        # is the hottest fusion op; the MXU-friendly einsum form below maps
+        # both matmuls onto the systolic array.
+        b, h, w, c = t.shape
+        pooled = _avg_pool8(t)
+        q = t.reshape(b, h * w, c)
+        k = pooled.reshape(b, -1, c)
+        energy = jnp.einsum("bnc,bmc->bnm", q, k,
+                            precision="float32",
+                            preferred_element_type=jnp.float32)
+        e_min = energy.min()
+        e_max = energy.max()
+        energy = (energy - e_min) / (e_max - e_min)
+        attn_w = jax.nn.softmax(energy, axis=-1)
+        attn = jnp.einsum("bnm,bmc->bnc", attn_w, k,
+                          precision="float32",
+                            preferred_element_type=jnp.float32)
+        return attn.reshape(b, h, w, c) + t
+
+    raise ValueError(
+        "only supported ['sum', 'mean', 'l1', 'l2', 'linf', 'nl'] mode")
+
+
+def channel_pooling(t, mode="avg"):
+    """Per-channel spatial pooling -> (N,1,1,C) vector, or the 'nuclear' /
+    'nl' attention variants (reference core/fusion.py:120-153)."""
+    b, h, w, c = t.shape
+
+    if mode == "avg":
+        return t.mean(axis=(1, 2), keepdims=True)
+    elif mode == "max":
+        return t.max(axis=(1, 2), keepdims=True)
+
+    elif mode == "nuclear":
+        # Per-channel nuclear norm (sum of singular values) of the first
+        # batch element (fusion.py:128-135 loops a per-channel torch.svd;
+        # here: one batched SVD over the channel dim).
+        mats = jnp.clip(t[0], eps, None)          # (H,W,C)
+        mats = jnp.moveaxis(mats, -1, 0)          # (C,H,W)
+        s = jnp.linalg.svd(mats, compute_uv=False)  # (C,min(H,W))
+        vec = s.sum(axis=-1)
+        return vec.reshape(1, 1, 1, c)
+
+    elif mode == "nl":
+        # Gram-matrix channel attention: energy [B,C,C]
+        q = jnp.moveaxis(t, -1, 1).reshape(b, c, h * w)
+        energy = jnp.einsum("bcn,bdn->bcd", q, q,
+                            precision="float32",
+                            preferred_element_type=jnp.float32)
+        e_min = energy.min()
+        e_max = energy.max()
+        energy = (energy - e_min) / (e_max - e_min)
+        attn_w = jax.nn.softmax(energy, axis=-1)
+        attn = jnp.einsum("bcd,bdn->bcn", attn_w, q,
+                          precision="float32",
+                            preferred_element_type=jnp.float32)
+        attn = jnp.moveaxis(attn.reshape(b, c, h, w), 1, -1)
+        return attn + t
+
+    raise ValueError("only supported ['avg', 'max', 'nuclear', 'nl'] mode")

@@ -1,0 +1,288 @@
+"""Configurable conv layer — the innermost building block of every model.
+
+TPU-native re-design of the reference's `ConvLayer` (reference
+core/block.py:26-118): NHWC layout (channels-last is the TPU/XLA-friendly
+layout — the C dim maps to vector lanes / MXU columns), explicit reflect
+padding + VALID conv (XLA convs have no reflect mode), and initializers
+matching the reference's activation-keyed scheme:
+
+- ReLU/ReLU6/Hardswish/SiLU/GELU -> Kaiming normal (fan_in, gain^2 = 2)
+- LeakyReLU(0.2)                 -> Kaiming normal (gain^2 = 2/(1+0.2^2))
+- Tanh                           -> Xavier normal (gain = 5/3)
+- other/None                     -> torch Conv2d default
+                                    (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)))
+- bias -> zeros (block.py:113-114)
+"""
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+
+def relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+def hardswish(x):
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+ACTS = {
+    "relu": jax.nn.relu,
+    "relu6": relu6,
+    "lrelu": lambda x: jax.nn.leaky_relu(x, 0.2),
+    "tanh": jnp.tanh,
+    "hswish": hardswish,
+    "silu": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    None: lambda x: x,
+}
+
+_KAIMING_FAMILY = ("relu", "relu6", "hswish", "silu", "gelu")
+
+
+def get_act(name):
+    if callable(name):
+        return name
+    if name not in ACTS:
+        raise ValueError(f"unknown activation {name!r}")
+    return ACTS[name]
+
+
+def kernel_init_for(act):
+    """Activation-keyed initializer (reference core/block.py:101-111)."""
+    if act in _KAIMING_FAMILY:
+        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    if act == "lrelu":
+        return nn.initializers.variance_scaling(2.0 / (1.0 + 0.2 ** 2),
+                                                "fan_in", "normal")
+    if act == "tanh":
+        gain = 5.0 / 3.0
+        return nn.initializers.variance_scaling(gain ** 2, "fan_avg",
+                                                "normal")
+    # torch default: kaiming_uniform(a=sqrt(5)) -> U(+-1/sqrt(fan_in))
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+# ---------------------------------------------------------------------------
+# padding helpers
+# ---------------------------------------------------------------------------
+
+
+def pad2d(x, pad, mode="reflect"):
+    """Pad H and W of an NHWC array. `pad` is (lo, hi) for both dims or a
+    4-tuple (w_lo, w_hi, h_lo, h_hi) in the torch F.pad order."""
+    if isinstance(pad, int):
+        pw = ph = (pad, pad)
+    elif len(pad) == 2:
+        pw = ph = tuple(pad)
+    else:
+        pw = (pad[0], pad[1])
+        ph = (pad[2], pad[3])
+    if max(ph) == 0 and max(pw) == 0:
+        return x
+    cfg = [(0, 0), ph, pw, (0, 0)]
+    if mode == "zeros":
+        return jnp.pad(x, cfg)
+    return jnp.pad(x, cfg, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# norm layers
+# ---------------------------------------------------------------------------
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis only, per spatial position (reference
+    core/block.py:472-500: normalized_dim=(1,) in NCHW == axis -1 in NHWC).
+    Scale on, bias off by default, eps 1e-6 — matching the reference."""
+
+    features: int
+    use_scale: bool = True
+    use_bias: bool = False
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c = x - x.mean(axis=-1, keepdims=True)
+        s = jnp.mean(c * c, axis=-1, keepdims=True)
+        y = c * jax.lax.rsqrt(s + self.eps)
+        if self.use_scale:
+            w = self.param("scale", nn.initializers.ones, (self.features,))
+            y = y * w
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+def make_norm(kind, features, name=None):
+    """norm factory: kind in {None, 'batch', 'group', 'layer'}.
+
+    'batch' == torch BatchNorm2d (eps 1e-5, momentum 0.1); under pjit the
+    batch statistics reduce over the *global* (sharded) batch, so multi-chip
+    training gets SyncBatchNorm semantics for free (reference train.py:296).
+    'group' == torch GroupNorm(C, C) as used by SEDRFuse — per-channel
+    instance norm.
+    """
+    if kind is None:
+        return None
+    if kind == "batch":
+        return nn.BatchNorm(use_running_average=None,
+                            momentum=0.9,
+                            epsilon=1e-5,
+                            name=name)
+    if kind == "group":
+        return nn.GroupNorm(num_groups=features, epsilon=1e-5, name=name)
+    if kind == "layer":
+        return ChannelLayerNorm(features, name=name)
+    raise ValueError(f"unknown norm {kind!r}")
+
+
+def apply_norm(norm, x, train):
+    if norm is None:
+        return x
+    if isinstance(norm, nn.BatchNorm):
+        return norm(x, use_running_average=not train)
+    return norm(x)
+
+
+# ---------------------------------------------------------------------------
+# ConvLayer
+# ---------------------------------------------------------------------------
+
+
+class ConvLayer(nn.Module):
+    """conv( + pre/post norm + act) with reflect 'SAME' padding by default.
+
+    Mirrors the reference ConvLayer contract (core/block.py:26-99):
+    `padding=None` -> ksize//2 on each side; `bias=None` -> bias unless both
+    norm and pre_norm are batch norm; transpose conv (SEDRFuse) uses
+    k=3,s=2,p=1,output_padding=1 arithmetic (exactly 2x upsampling) with
+    zero padding.
+    """
+
+    out_ch: int
+    ksize: int = 3
+    stride: int = 1
+    padding: Optional[int] = None
+    dilation: int = 1
+    groups: int = 1
+    use_bias: Optional[bool] = None
+    norm: Optional[str] = None
+    pre_norm: Optional[str] = None
+    transpose: bool = False
+    act: Optional[str] = "relu"
+    pad_mode: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        pad = self.ksize // 2 if self.padding is None else self.padding
+        bias = self.use_bias
+        if bias is None:
+            bias = not (self.norm == "batch" and self.pre_norm == "batch")
+
+        if self.pre_norm is not None:
+            pre = make_norm(self.pre_norm, x.shape[-1], name="pre_norm")
+            x = apply_norm(pre, x, train)
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", kernel_init_for(self.act),
+            (self.ksize, self.ksize, in_ch // self.groups, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.out_ch,)) if bias else None
+
+        if not self.transpose:
+            if pad:
+                x = pad2d(x, pad, self.pad_mode)
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=(self.stride, self.stride),
+                padding="VALID",
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
+        else:
+            # torch ConvTranspose2d(k, s, p, output_padding=1): out = in * s
+            # == lhs-dilated conv with spatially flipped kernel and
+            # padding (k-1-p, k-1-p+op) on each spatial dim.
+            k, s, op = self.ksize, self.stride, 1
+            lo = k - 1 - pad
+            hi = k - 1 - pad + op
+            y = jax.lax.conv_general_dilated(
+                x,
+                jnp.flip(kernel, axis=(0, 1)),
+                window_strides=(1, 1),
+                padding=((lo, hi), (lo, hi)),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if b is not None:
+            y = y + b
+
+        if self.norm is not None:
+            post = make_norm(self.norm, self.out_ch, name="norm")
+            y = apply_norm(post, y, train)
+
+        return get_act(self.act)(y)
+
+
+# ---------------------------------------------------------------------------
+# pooling / resize primitives (NHWC)
+# ---------------------------------------------------------------------------
+
+
+def max_pool(x, window, stride=None):
+    stride = stride or window
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1), "VALID")
+
+
+def avg_pool(x, window, stride=None):
+    stride = stride or window
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, window, window, 1), (1, stride, stride, 1), "VALID")
+    return s / float(window * window)
+
+
+def interpolate(x, scale_factor, mode="nearest"):
+    """torch nn.Upsample semantics on NHWC: 'nearest' (floor mapping) or
+    'bilinear' with align_corners=True (reference core/block.py:965-973)."""
+    n, h, w, c = x.shape
+    oh, ow = h * scale_factor, w * scale_factor
+    if mode == "nearest":
+        return jnp.repeat(jnp.repeat(x, scale_factor, axis=1),
+                          scale_factor, axis=2)
+    if mode == "bilinear":
+        def axis_weights(insize, outsize):
+            if outsize == 1 or insize == 1:
+                lo = jnp.zeros((outsize,), jnp.int32)
+                return lo, lo, jnp.zeros((outsize,), x.dtype)
+            src = jnp.arange(outsize, dtype=jnp.float32) * (
+                (insize - 1) / (outsize - 1))
+            lo = jnp.floor(src).astype(jnp.int32)
+            lo = jnp.clip(lo, 0, insize - 2)
+            t = (src - lo).astype(x.dtype)
+            return lo, lo + 1, t
+
+        hlo, hhi, ht = axis_weights(h, oh)
+        wlo, whi, wt = axis_weights(w, ow)
+        top = x[:, hlo][:, :, wlo] * (1 - wt)[None, None, :, None] + \
+            x[:, hlo][:, :, whi] * wt[None, None, :, None]
+        bot = x[:, hhi][:, :, wlo] * (1 - wt)[None, None, :, None] + \
+            x[:, hhi][:, :, whi] * wt[None, None, :, None]
+        return top * (1 - ht)[None, :, None, None] + \
+            bot * ht[None, :, None, None]
+    raise ValueError(f"unknown interpolate mode {mode!r}")

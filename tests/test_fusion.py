@@ -1,0 +1,70 @@
+"""Parity of the 8 fusion strategies vs the PyTorch reference
+(fixtures from tools/gen_golden.py; reference core/fusion.py)."""
+
+import numpy as np
+import pytest
+
+from multi_modal_image_fusion_tpu.ops import fusion as F
+
+from conftest import nchw_to_nhwc, nhwc_to_nchw
+
+
+def _load(golden):
+    d = golden("fusion")
+    t1 = nchw_to_nhwc(d["t1"])
+    t2 = nchw_to_nhwc(d["t2"])
+    return d, t1, t2
+
+
+@pytest.mark.parametrize("mode", ["sum", "mean", "max"])
+def test_element_fusion(golden, mode):
+    d, t1, t2 = _load(golden)
+    got = np.asarray(F.element_fusion(t1, t2, mode))
+    np.testing.assert_allclose(nhwc_to_nchw(got), d[f"elem_{mode}"],
+                               atol=1e-6)
+
+
+def test_weighted_fusion(golden):
+    d, t1, t2 = _load(golden)
+    got = np.asarray(F.weighted_fusion(t1, t2, t1.mean(), t2.mean()))
+    np.testing.assert_allclose(nhwc_to_nchw(got), d["weighted"], atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["sa", "ca", "sca", "wavg"])
+def test_attention_fusion(golden, mode):
+    d, t1, t2 = _load(golden)
+    got = np.asarray(F.attention_fusion(t1, t2, mode))
+    np.testing.assert_allclose(nhwc_to_nchw(got), d[f"attn_{mode}"],
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["sum", "mean", "l1", "l2", "linf", "nl"])
+def test_spatial_pooling(golden, mode):
+    d, t1, _ = _load(golden)
+    got = np.asarray(F.spatial_pooling(t1, mode))
+    np.testing.assert_allclose(nhwc_to_nchw(got), d[f"spool_{mode}"],
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["avg", "max", "nuclear", "nl"])
+def test_channel_pooling(golden, mode):
+    d, t1, _ = _load(golden)
+    got = np.asarray(F.channel_pooling(t1, mode))
+    atol = 1e-3 if mode == "nuclear" else 1e-5   # SVD backends differ
+    np.testing.assert_allclose(nhwc_to_nchw(got), d[f"cpool_{mode}"],
+                               atol=atol)
+
+
+def test_attention_fusion_nonlocal(golden):
+    d, t1, t2 = _load(golden)
+    got = np.asarray(
+        F.attention_fusion(t1, t2, "sca", spatial_mode="nl",
+                           channel_mode="nl"))
+    np.testing.assert_allclose(nhwc_to_nchw(got), d["attn_nl"], atol=1e-4)
+
+
+def test_concat_fusion(golden):
+    d, t1, t2 = _load(golden)
+    got = np.asarray(F.concat_fusion((t1, t2)))
+    assert got.shape[-1] == t1.shape[-1] * 2
+    np.testing.assert_allclose(got[..., :t1.shape[-1]], t1)

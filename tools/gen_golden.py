@@ -1,0 +1,208 @@
+"""Generate golden parity fixtures by RUNNING the PyTorch reference
+(/root/reference) and recording inputs/outputs as .npz files under
+tests/golden/. Dev-time tool only: tests consume the fixtures and never
+import torch or the reference.
+
+Usage: python tools/gen_golden.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+REF = "/root/reference"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+
+sys.path.insert(0, REF)
+
+import torch  # noqa: E402
+
+torch.manual_seed(0)
+os.makedirs(OUT, exist_ok=True)
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def save(name, **arrays):
+    path = os.path.join(OUT, name + ".npz")
+    np.savez_compressed(path, **arrays)
+    print("wrote", path, "::", ", ".join(sorted(arrays)))
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def gen_losses():
+    from core.loss import (GradLoss, NormLoss, PixelLoss, SSIMLoss, TVLoss,
+                           calc_msssim, calc_ssim)
+
+    g = torch.Generator().manual_seed(0)
+    x1 = torch.rand(2, 1, 256, 256, generator=g)
+    x2 = torch.rand(2, 1, 256, 256, generator=g)
+    y = torch.rand(2, 1, 256, 256, generator=g)
+
+    out = {"x1": t2n(x1), "x2": t2n(x2), "y": t2n(y)}
+
+    for mode in ["ssim", "w-ssim", "ms-ssim", "msw-ssim"]:
+        out[f"ssimloss_{mode}"] = t2n(SSIMLoss(mode, weight=1.0)(x1, x2, y))
+    for mode in ["l1", "l2"]:
+        for m in ["avg", "max"]:
+            out[f"pixel_{mode}_{m}"] = t2n(
+                PixelLoss(mode, weight=1.0)(x1, x2, y, mode=m))
+            out[f"grad_{mode}_{m}"] = t2n(
+                GradLoss(mode, weight=1.0)(x1, x2, y, mode=m))
+        out[f"tv_{mode}"] = t2n(TVLoss(mode, weight=1.0)(y - x1))
+        out[f"norm_{mode}"] = t2n(NormLoss(mode, weight=1.0)(y - x1))
+
+    d = calc_ssim(x1, y, data_range=1.0)
+    out["ssim_vec"] = t2n(d["ssim"])
+    out["cs_vec"] = t2n(d["cs"])
+    out["sigma_vec"] = t2n(d["sigma"])
+    d = calc_ssim(x1, y, data_range=1.0, use_padding=True,
+                  size_average=False)
+    out["ssim_map"] = t2n(d["ssim"])
+    out["msssim_vec"] = t2n(calc_msssim(x1, y, data_range=1.0))
+    save("losses", **out)
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def gen_metrics():
+    from core import metric as M
+
+    g = torch.Generator().manual_seed(0)
+    x1 = torch.rand(1, 1, 256, 256, generator=g) * 255.0
+    x2 = torch.rand(1, 1, 256, 256, generator=g) * 255.0
+    y = torch.rand(1, 1, 256, 256, generator=g) * 255.0
+    # quantized variants (like real dumped images) for histogram metrics
+    x1q, x2q, yq = [t.round() for t in (x1, x2, y)]
+
+    out = {"x1": t2n(x1), "x2": t2n(x2), "y": t2n(y)}
+    out["mean"] = t2n(M.calc_mean(y))
+    out["std"] = t2n(M.calc_std(y))
+    out["ag"] = t2n(M.calc_ag(y))
+    out["sf"] = t2n(M.calc_sf(y))
+    mse = M.calc_mse(x1, y)
+    out["mse"] = t2n(mse)
+    out["psnr"] = t2n(M.calc_psnr(mse))
+    out["psnr_root"] = t2n(M.calc_psnr(mse, root=True))
+    out["cc"] = t2n(M.calc_cc(x1, y))
+    out["scd"] = t2n(M.calc_scd(x1, x2, y))
+    out["entropy"] = t2n(M.calc_entropy(x1q))
+    out["cross_ent"] = t2n(M.calc_cross_ent(x1q, yq))
+    out["joint_ent"] = t2n(M.calc_joint_ent(x1q, yq))
+    out["mi"] = t2n(M.calc_mul_info(x1q, yq))
+    out["mi_norm"] = t2n(M.calc_mul_info(x1q, yq, normalized=True))
+    out["qabf"] = t2n(M.calc_Qabf(x1, x2, y, L=1.5))
+    q, n, l = M.calc_Qabf(x1, x2, y, L=1.5, full=True)
+    out["qabf_full"] = np.array([t2n(q), t2n(n), t2n(l)])
+    out["nabf_mod"] = t2n(M.calc_Nabf(x1, x2, y, modified=True))
+    out["nabf_orig"] = t2n(M.calc_Nabf(x1, x2, y, modified=False))
+    out["labf"] = t2n(M.calc_Labf(x1, x2, y))
+    out["ssim_255"] = t2n(M.calc_ssim(x1, y))
+    out["ssim_1"] = t2n(M.calc_ssim(x1 / 255.0, y / 255.0, data_range=1.0))
+    s, c = M.calc_ssim(x1, y, full=True)
+    out["ssim_cs"] = np.array([t2n(s), t2n(c)])
+    out["msssim"] = t2n(M.calc_msssim(x1, y))
+    out["viff_simple"] = t2n(M.calc_viff(x1, x2, y, simple=True))
+    out["viff_weighted"] = t2n(M.calc_viff(x1, x2, y, simple=False))
+    save("metrics", **out)
+
+
+# ---------------------------------------------------------------------------
+# fusion strategies
+# ---------------------------------------------------------------------------
+
+def gen_fusion():
+    from core import fusion as F
+
+    g = torch.Generator().manual_seed(0)
+    t1 = torch.rand(2, 8, 32, 32, generator=g)
+    t2 = torch.rand(2, 8, 32, 32, generator=g)
+
+    out = {"t1": t2n(t1), "t2": t2n(t2)}
+    for m in ["sum", "mean", "max"]:
+        out[f"elem_{m}"] = t2n(F.element_fusion(t1, t2, m))
+    out["weighted"] = t2n(
+        F.weighted_fusion(t1, t2, t1.mean(), t2.mean()))
+    for m in ["sa", "ca", "sca", "wavg"]:
+        out[f"attn_{m}"] = t2n(F.attention_fusion(t1, t2, m))
+    for m in ["sum", "mean", "l1", "l2", "linf", "nl"]:
+        out[f"spool_{m}"] = t2n(F.spatial_pooling(t1, m))
+    for m in ["avg", "max", "nuclear", "nl"]:
+        out[f"cpool_{m}"] = t2n(F.channel_pooling(t1, m))
+    out["attn_nl"] = t2n(
+        F.attention_fusion(t1, t2, "sca", spatial_mode="nl",
+                           channel_mode="nl"))
+    save("fusion", **out)
+
+
+# ---------------------------------------------------------------------------
+# layers: ConvLayer variants with exported weights
+# ---------------------------------------------------------------------------
+
+def gen_layers():
+    import torch.nn as nn
+
+    from core.block import ConvLayer, Downsample, Upsample
+
+    g = torch.Generator().manual_seed(0)
+    x = torch.rand(2, 8, 21, 27, generator=g)  # odd spatial dims
+
+    cases = {
+        "k3": dict(ksize=3),
+        "k5": dict(ksize=5),
+        "k7": dict(ksize=7),
+        "k1_pad0": dict(ksize=1),
+        "stride2": dict(ksize=3, stride=2),
+        "dw": dict(ksize=3, groups=8),
+        "lrelu": dict(act=nn.LeakyReLU),
+        "tanh": dict(act=nn.Tanh),
+        "noact": dict(act=None),
+        "gn": dict(norm=nn.GroupNorm),
+        "bn": dict(norm=nn.BatchNorm2d),
+    }
+    out = {"x": t2n(x)}
+    for name, kw in cases.items():
+        torch.manual_seed(1)
+        layer = ConvLayer(8, 16, **kw).eval()
+        sd = {k: t2n(v) for k, v in layer.state_dict().items()}
+        with torch.no_grad():
+            y = layer(x)
+        out[f"{name}__out"] = t2n(y)
+        for k, v in sd.items():
+            out[f"{name}__sd__{k}"] = v
+
+    # transpose conv (SEDRFuse decoder)
+    torch.manual_seed(1)
+    layer = ConvLayer(8, 4, stride=2, layer=nn.ConvTranspose2d).eval()
+    with torch.no_grad():
+        y = layer(x)
+    out["deconv__out"] = t2n(y)
+    for k, v in layer.state_dict().items():
+        out[f"deconv__sd__{k}"] = t2n(v)
+
+    # shape-repair resamples on odd sizes
+    shape = (2, 8, 21, 27)
+    down = Downsample(2, 2)
+    up = Upsample("bilinear", 2)
+    upn = Upsample("nearest", 2)
+    small = torch.rand(2, 8, 10, 13, generator=g)
+    out["down_pad__out"] = t2n(down(x, shape))
+    out["up_bilinear__out"] = t2n(up(small, shape))
+    out["up_nearest__out"] = t2n(upn(small, shape))
+    out["small"] = t2n(small)
+    save("layers", **out)
+
+
+if __name__ == "__main__":
+    gen_losses()
+    gen_metrics()
+    gen_fusion()
+    gen_layers()

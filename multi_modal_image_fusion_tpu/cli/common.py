@@ -1,0 +1,102 @@
+"""Shared CLI plumbing (reference common.py:23-81): argument parsers,
+dataset-layout mapping, and result-image assembly.
+
+The reference's `type=bool` flags are always-true when passed (a known
+argparse footgun, SURVEY.md §5); here booleans are proper on/off flag
+pairs with the same defaults.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data.transform import denorm
+from ..models import MODEL_ZOO
+
+
+def _bool_flag(parser, name, default, help_on):
+    dest = name.replace("-", "_")
+    parser.add_argument(f"--{name}", dest=dest, action="store_true",
+                        help=help_on)
+    parser.add_argument(f"--no-{name}", dest=dest, action="store_false")
+    parser.set_defaults(**{dest: default})
+
+
+def get_train_parser():
+    p = argparse.ArgumentParser(description="Training")
+    p.add_argument("--lr", default=1e-4, type=float, help="learning rate")
+    p.add_argument("--bs", default=16, type=int, help="global batch size")
+    p.add_argument("--epoch", default=12, type=int, help="num of epochs")
+    _bool_flag(p, "use_patches", True, "train with 64x64 patches")
+    _bool_flag(p, "warmup", False, "first-epoch lr warmup")
+    _bool_flag(p, "clip_grad", True, "clip grad global-norm at 5")
+    p.add_argument("--data", default="roadscene", type=str,
+                   help="dataset folder name")
+    p.add_argument("--data_root", default=None, type=str,
+                   help="datasets root dir (default <repo>/../datasets; "
+                        "falls back to the bundled reference samples)")
+    p.add_argument("--model", default="deepfuse", type=str,
+                   choices=sorted(MODEL_ZOO), help="zoo model name")
+    p.add_argument("--ssim_mode", default="ssim",
+                   choices=["ssim", "w-ssim", "ms-ssim", "msw-ssim"])
+    p.add_argument("--ssim_weight", default=1.0, type=float)
+    p.add_argument("--pixel_mode", default="l1", choices=["l1", "l2"])
+    p.add_argument("--pixel_weight", default=0.01, type=float)
+    p.add_argument("--grad_mode", default="l1", choices=["l1", "l2"])
+    p.add_argument("--grad_weight", default=0.1, type=float)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--ckpt_root", default=None, type=str,
+                   help="checkpoints root (default <repo>/../checkpoints)")
+    return p
+
+
+def get_test_parser():
+    p = argparse.ArgumentParser(description="Inference")
+    p.add_argument("--data", default="roadscene", type=str,
+                   help="dataset folder name")
+    p.add_argument("--ckpt", required=True, type=str,
+                   help="checkpoint folder name (timestamp dir)")
+    p.add_argument("--data_root", default=None, type=str)
+    p.add_argument("--ckpt_root", default=None, type=str)
+    p.add_argument("--model", default=None, type=str,
+                   help="zoo model name (default: from checkpoint meta)")
+    return p
+
+
+def dataset_layout(data):
+    """dataset name -> (set_name_train, set_name_test, img_type)
+    (reference train.py:181-184, test.py:104-107, eval.py:127-135)."""
+    if data == "tno":
+        return None, None, "ir"
+    if data in ("roadscene", "msrs"):
+        return "train", "test", "ir"
+    if data == "polar":
+        return "train", "test", "po"
+    # custom datasets default to the roadscene layout
+    return "train", "test", "ir"
+
+
+def resolve_data_dir(args):
+    base = args.data_root
+    if base is None:
+        cand = os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                            "datasets")
+        base = cand
+    path = os.path.join(base, args.data)
+    if not os.path.isdir(path):
+        # fall back to the bundled reference samples for smoke runs
+        samples = "/root/reference/data/samples"
+        alt = {"roadscene": "infrared", "polar": "polar"}.get(args.data)
+        if alt and os.path.isdir(os.path.join(samples, alt)):
+            return os.path.join(samples, alt), True
+    return path, False
+
+
+def save_result(pred, img1=None, img2=None):
+    """Assemble [img1 | img2 | fused] side-by-side uint8 image
+    (reference common.py:74-81). Inputs are HWC [0,1] floats."""
+    if img1 is not None and img2 is not None:
+        return np.concatenate(tuple(map(denorm, (img1, img2, pred))),
+                              axis=1)
+    return denorm(pred)

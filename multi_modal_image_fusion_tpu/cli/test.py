@@ -1,0 +1,128 @@
+"""Inference + benchmark CLI (reference test.py re-built for TPU):
+runs the trained model over the test split (batch 1, full resolution),
+reports per-image SSIM (data_range 1.0) and latency/fps with the first
+iteration excluded as compile warmup (reference test.py:41-48), dumps fused
+images as NN.bmp into checkpoints/<ckpt>/<data>/, and appends results to
+train.log.
+
+Usage: python -m multi_modal_image_fusion_tpu.cli.test --data roadscene \
+           --ckpt <timestamp-dir>
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import FusionDataset
+from ..data.io import imwrite
+from ..models import create_model
+from ..ops.metrics import calc_ssim
+from ..train.checkpoint import load_checkpoint_meta
+from ..utils.meters import AverageMeter
+from .common import dataset_layout, get_test_parser, resolve_data_dir, \
+    save_result
+
+
+def make_infer_fn(model, variables):
+    @jax.jit
+    def infer(img1, img2):
+        imgf = model.apply(variables, img1, img2, train=False)
+        s1 = calc_ssim(img1, imgf, data_range=1.0)
+        s2 = calc_ssim(img2, imgf, data_range=1.0)
+        return imgf, (s1 + s2) * 0.5
+
+    return infer
+
+
+def test_model(model, variables, dataset, save_dir=None, log_file=None):
+    timer = AverageMeter()
+    ssim_meter = AverageMeter()
+    infer = make_infer_fn(model, variables)
+
+    for i in range(len(dataset)):
+        img1, img2 = dataset[i]
+        x1 = jnp.asarray(img1)[None, ..., None]
+        x2 = jnp.asarray(img2)[None, ..., None]
+
+        start = time.time()
+        imgf, ssim = infer(x1, x2)
+        jax.block_until_ready(imgf)
+        elapsed = time.time() - start
+        if i > 0:                     # first iter = compile warmup
+            timer.update(elapsed)
+
+        ssim_meter.update(float(ssim))
+        line = (f"iter: {i + 1:0>2}, ssim: {ssim_meter.val:.4f}, "
+                f"time: {elapsed * 1000:.3f}ms")
+        print(line)
+        if log_file is not None:
+            log_file.write("\n" + line)
+
+        if save_dir is not None:
+            result = save_result(np.asarray(imgf)[0])
+            imwrite(os.path.join(save_dir, f"{i + 1:0>2}.bmp"), result)
+
+    return ssim_meter.avg, timer.avg if timer.count else float("nan")
+
+
+def main(argv=None):
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = get_test_parser().parse_args(argv)
+
+    ckpt_root = args.ckpt_root or os.path.join(
+        os.path.dirname(__file__), "..", "..", "..", "checkpoints")
+    ckpt_dir = os.path.join(ckpt_root, args.ckpt)
+    ckpt_path = os.path.join(ckpt_dir, "epoch_best.ckpt")
+    if not os.path.isfile(ckpt_path):
+        ckpt_path = os.path.join(ckpt_dir, "epoch_last.ckpt")
+    assert os.path.isfile(ckpt_path), f"no checkpoint under {ckpt_dir}"
+
+    meta = load_checkpoint_meta(ckpt_path)
+    model_name = args.model or meta.get("model", "deepfuse")
+    model = create_model(model_name)
+    print(f"model: {model_name}")
+
+    data_dir, is_sample = resolve_data_dir(args)
+    _, set_name_test, img_type = dataset_layout(args.data)
+    dataset = FusionDataset(data_dir, set_name=set_name_test,
+                            set_type="test", img_type=img_type)
+
+    # checkpoints store a full TrainState; pull params/batch_stats
+    import flax
+
+    with open(ckpt_path, "rb") as f:
+        blob = f.read()
+    restored = flax.serialization.msgpack_restore(blob)
+    variables = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
+
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(variables["params"]))
+    print(f"params: {n_params / 1e6:.3f}M")
+
+    save_dir = os.path.join(ckpt_dir, args.data)
+    os.makedirs(save_dir, exist_ok=True)
+
+    log_path = os.path.join(ckpt_dir, "train.log")
+    log_file = open(log_path, "a") if os.path.isfile(log_path) else None
+    try:
+        ssim, avg_time = test_model(model, variables, dataset, save_dir,
+                                    log_file)
+        line = (f"ssim: {ssim:.4f}, time: {avg_time * 1000:.3f}ms, "
+                f"fps: {1.0 / avg_time:.3f}")
+        print(line)
+        if log_file is not None:
+            log_file.write("\n" + line)
+    finally:
+        if log_file is not None:
+            log_file.close()
+    return ssim, avg_time
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Training CLI (reference train.py re-built for TPU).
+
+Single-chip or multi-chip: the train step is jit-compiled over a 1-D `data`
+mesh; batches are sharded, params replicated, gradient all-reduce inserted
+by XLA (see parallel/mesh.py). Output tree matches the reference:
+
+    checkpoints/<YYYY-MM-DD_HH-MM>/
+        train.log  scalars.jsonl  (tensorboard events if available)
+        train/NN.png  valid/NN.png          per-epoch [img1|img2|fused]
+        epoch_best.ckpt  epoch_last.ckpt    (+ .json metadata)
+
+Usage: python -m multi_modal_image_fusion_tpu.cli.train --data roadscene \
+           --model densefuse --bs 16 --epoch 12
+"""
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..data.dataset import FusionDataset, FusionPatches
+from ..data.io import imwrite
+from ..data.pipeline import Feeder
+from ..models import create_model
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..train.checkpoint import save_checkpoint
+from ..train.schedules import make_lr_schedule
+from ..train.trainer import Trainer, make_loss_bundle
+from ..utils.logger import make_logger
+from ..utils.meters import AverageMeter
+from ..utils.scalars import ScalarWriter
+from ..utils.seed import setup_seed
+from .common import (dataset_layout, get_train_parser, resolve_data_dir,
+                     save_result)
+
+
+def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
+              save_dir=None):
+    loss_meter = AverageMeter()
+    num_iters = len(feeder)
+    start_time = time.time()
+    last = None
+
+    for it, batch in enumerate(feeder):
+        if mode == "train":
+            state, parts, imgf = trainer.train_step(state, batch)
+        else:
+            parts, imgf = trainer.valid_step(state, batch)
+        last = (batch, imgf)
+
+        total = float(parts["loss"])
+        loss_meter.update(total, batch[0].shape[0])
+
+        global_step = num_iters * epoch + it
+        writer.add_scalar(f"{mode}_loss_iter", total, global_step)
+        for k in ("loss1", "loss2", "loss3"):
+            writer.add_scalar(f"{mode}_{k}_iter", float(parts[k]),
+                              global_step)
+        if (it + 1) % 10 == 0:
+            logger.info(f"epoch: {epoch + 1:0>2}, iter: {it + 1:0>3}, "
+                        f"{mode} loss: {loss_meter.avg:.4f}")
+
+    jax.block_until_ready(state.params)
+    logger.info(f"cost time: {time.time() - start_time:.3f}s\n")
+
+    if save_dir is not None and last is not None:
+        (img1, img2), imgf = last
+        result = save_result(np.asarray(imgf)[0], np.asarray(img1)[0],
+                             np.asarray(img2)[0])
+        imwrite(os.path.join(save_dir, f"{epoch + 1:0>2}.png"), result)
+
+    return state, loss_meter.avg
+
+
+def main(argv=None):
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = get_train_parser().parse_args(argv)
+    setup_seed(args.seed)
+
+    ckpt_root = args.ckpt_root or os.path.join(
+        os.path.dirname(__file__), "..", "..", "..", "checkpoints")
+    from datetime import datetime
+
+    time_str = datetime.strftime(datetime.now(), "%Y-%m-%d_%H-%M")
+    ckpt_dir = os.path.join(ckpt_root, time_str)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    from ..utils.logger import Logger
+
+    logger = Logger(os.path.join(ckpt_dir, "train.log")).init_logger()
+    writer = ScalarWriter(ckpt_dir)
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    logger.info(f"devices: {n_dev} x {jax.devices()[0].platform}")
+    logger.info(f"model: {args.model}")
+
+    data_dir, is_sample = resolve_data_dir(args)
+    set_name_train, _, img_type = dataset_layout(args.data)
+    if is_sample:
+        set_name_train = "test"   # bundled samples only ship a test split
+        logger.info(f"using bundled sample data at {data_dir}")
+
+    rng = np.random.RandomState(args.seed)
+    if args.use_patches:
+        train_set = FusionPatches(data_dir, set_name=set_name_train,
+                                  set_type="train", img_type=img_type,
+                                  transform=True, rng=rng)
+        valid_set = FusionPatches(data_dir, set_name=set_name_train,
+                                  set_type="valid", img_type=img_type)
+    else:
+        train_set = FusionDataset(data_dir, set_name=set_name_train,
+                                  set_type="train", img_type=img_type,
+                                  transform=True, fix_size=True, rng=rng)
+        valid_set = FusionDataset(data_dir, set_name=set_name_train,
+                                  set_type="valid", img_type=img_type,
+                                  fix_size=True, rng=rng)
+
+    sharding = batch_sharding(mesh)
+    train_feeder = Feeder(train_set, args.bs, shuffle=True, drop_last=True,
+                          sharding=sharding, seed=args.seed)
+    valid_feeder = Feeder(valid_set, args.bs, shuffle=False, drop_last=True,
+                          sharding=sharding)
+    logger.info(f"train iters/epoch: {len(train_feeder)}, "
+                f"valid iters/epoch: {len(valid_feeder)}")
+
+    model = create_model(args.model)
+    schedule = make_lr_schedule(args.lr, len(train_feeder), args.epoch,
+                                warmup=args.warmup)
+    bundle = make_loss_bundle(args.ssim_mode, args.ssim_weight,
+                              args.pixel_mode, args.pixel_weight,
+                              args.grad_mode, args.grad_weight)
+    logger.info(f"ssim mode: {args.ssim_mode}, weight: {args.ssim_weight}")
+    logger.info(f"pixel mode: {args.pixel_mode}, weight: "
+                f"{args.pixel_weight}")
+    logger.info(f"grad mode: {args.grad_mode}, weight: {args.grad_weight}")
+
+    trainer = Trainer(model, schedule, bundle,
+                      clip_grad=5.0 if args.clip_grad else None, mesh=mesh)
+
+    sample = next(iter(valid_feeder))
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    logger.info(f"params: {n_params / 1e6:.3f}M")
+
+    train_dir = os.path.join(ckpt_dir, "train")
+    valid_dir = os.path.join(ckpt_dir, "valid")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(valid_dir, exist_ok=True)
+
+    meta = {"model": args.model, "data": args.data}
+    best_epoch, best_loss = 0, 0.0
+    try:
+        for epoch in range(args.epoch):
+            lr_now = float(schedule(int(state.step)))
+            logger.info(f"Epoch: [{epoch + 1:0>2}/{args.epoch:0>2}], "
+                        f"lr: {lr_now:.2e}")
+            logger.info("-" * 16)
+            train_feeder.set_epoch(epoch)
+
+            state, train_loss = run_epoch(trainer, state, train_feeder,
+                                          epoch, "train", logger, writer,
+                                          train_dir)
+            state, valid_loss = run_epoch(trainer, state, valid_feeder,
+                                          epoch, "valid", logger, writer,
+                                          valid_dir)
+
+            writer.add_scalar("train_loss_epoch", train_loss, epoch)
+            writer.add_scalar("valid_loss_epoch", valid_loss, epoch)
+            writer.add_scalar("lr", lr_now, epoch)
+            logger.info(f"epoch: {epoch + 1:0>2}, train loss: "
+                        f"{train_loss:.4f}, valid loss: {valid_loss:.4f}\n")
+
+            # best-checkpoint gate: reference train.py:362-371
+            if epoch < args.epoch // 2:
+                continue
+            if valid_loss < best_loss or epoch == args.epoch // 2:
+                best_epoch, best_loss = epoch + 1, valid_loss
+                save_checkpoint(os.path.join(ckpt_dir, "epoch_best.ckpt"),
+                                state,
+                                {**meta, "epoch": best_epoch,
+                                 "valid_loss": best_loss})
+    finally:
+        save_checkpoint(os.path.join(ckpt_dir, "epoch_last.ckpt"), state,
+                        {**meta, "epoch": args.epoch})
+        writer.close()
+        logger.info(f"training model done, best loss: {best_loss:.4f} "
+                    f"in epoch: {best_epoch}")
+    return ckpt_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,839 @@
+"""The 16-model fusion zoo (TPU re-design of reference core/model.py).
+
+Every model is a flax module over NHWC single-channel images with the
+reference's siamese encoder -> fuse -> decoder shape:
+
+    model.apply(vars, img1, img2, train=...)  -> fused image
+    model.apply(vars, img1, train=...)        -> autoencoder reconstruction
+                                                 (two-stage training mode,
+                                                 model.py:43-51)
+
+Weight sharing between the two encoder passes is automatic (the same flax
+submodule applied twice), mirroring the reference's shared `self.encode`.
+Fusion-strategy strings are static config, resolved at trace time.
+
+Model -> reference mapping (file:line in /root/reference/core/model.py):
+  PFNetv1 69-111, PFNetv2 114-141, DeepFuse 147-162, DenseFuse 165-186,
+  VIFNet 189-206, DBNet 209-244, SEDRFuse 247-316, NestFuse 319-363,
+  RFNNest 366-384, UNFusion 387-439, Res2Fusion 442-472, MAFusion 475-508,
+  IFCNN 514-528, DIFNet 531-552, PMGI 555-624, MyFusion 630-842.
+"""
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.blocks import (DCB, DCBlock, ECB, RFN, Attention, ConvBlock,
+                          ConvFormerBlock, ConvLayer, Decoder, DenseBlock,
+                          Downsample, FSDecoder, LSDecoder, MetaFormerBlock,
+                          MixConvBlock, MixFormerBlock, NestDecoder,
+                          NestEncoder, Res2ConvBlock, Res2FormerBlock,
+                          ResBlock, SepConvBlock, TransformerBlock,
+                          TransitionBlock, Upsample)
+from ..ops.fusion import (attention_fusion, concat_fusion, element_fusion,
+                          spatial_pooling, weighted_fusion)
+from ..ops.layers import max_pool
+
+__all__ = [
+    "PFNetv1", "PFNetv2", "DeepFuse", "DenseFuse", "VIFNet", "DBNet",
+    "SEDRFuse", "NestFuse", "RFNNest", "UNFusion", "Res2Fusion", "MAFusion",
+    "IFCNN", "DIFNet", "PMGI", "MyFusion", "MODEL_ZOO", "create_model",
+]
+
+
+class _FusionModel(nn.Module):
+    """Siamese encoder -> fusion -> decoder base (model.py:27-63)."""
+
+    def encoder(self, img, train):
+        raise NotImplementedError
+
+    def fusion(self, feat1, feat2):
+        raise NotImplementedError
+
+    def decoder(self, feat, train):
+        raise NotImplementedError
+
+    def __call__(self, img1, img2=None, train=False):
+        if img2 is None:
+            return self.decoder(self.encoder(img1, train), train)
+        feat1 = self.encoder(img1, train)
+        feat2 = self.encoder(img2, train)
+        fused = self.fusion(feat1, feat2)
+        return self.decoder(fused, train)
+
+
+# ---------------------------------------------------------------------------
+# 1. polarization / intensity fusion
+# ---------------------------------------------------------------------------
+
+
+class PFNetv1(nn.Module):
+    """PFNet: unshared dual dense encoders + concat fusion."""
+
+    @nn.compact
+    def __call__(self, img1, img2, train=False):
+        def encode(img, tag):
+            x = ConvLayer(16, name=f"conv_in_{tag}")(img, train)
+            return DenseBlock(16, name=f"dense_{tag}")(x, train)
+
+        feat = concat_fusion((encode(img1, "1"), encode(img2, "2")))
+        for i, (ch, act) in enumerate([(128, "relu"), (64, "relu"),
+                                       (32, "relu"), (16, "relu"),
+                                       (1, None)]):
+            feat = ConvLayer(ch, act=act, name=f"decode{i}")(feat, train)
+        return feat
+
+
+class PFNetv2(_FusionModel):
+    """Self-learned per-channel fusion subnet.
+
+    The reference fuses channel-by-channel in a Python loop
+    (model.py:134-141); here the channel dim folds into the batch so the
+    shared 2->2->2->1 fuse net runs once — identical math, one conv kernel
+    launch instead of 64."""
+
+    def setup(self):
+        self.conv_in = ConvLayer(16, name="conv_in")
+        self.dense = DenseBlock(16, name="dense")
+        self.fuse_layers = [
+            ConvLayer(2, name="fuse0"),
+            ConvLayer(2, name="fuse1"),
+            ConvLayer(1, act=None, name="fuse2"),
+        ]
+        self.decode_layers = [
+            ConvLayer(64, name="decode0"),
+            ConvLayer(32, name="decode1"),
+            ConvLayer(16, name="decode2"),
+            ConvLayer(1, act=None, name="decode3"),
+        ]
+
+    def encoder(self, img, train):
+        return self.dense(self.conv_in(img, train), train)
+
+    def fusion(self, feat1, feat2, train=False):
+        b, h, w, c = feat1.shape
+        # (B,H,W,C) x2 -> (B*C, H, W, 2): channel pairs as batch entries
+        z = jnp.stack([feat1, feat2], axis=-1)          # (B,H,W,C,2)
+        z = jnp.moveaxis(z, 3, 1).reshape(b * c, h, w, 2)
+        for layer in self.fuse_layers:
+            z = layer(z, train)
+        z = z.reshape(b, c, h, w)
+        fused = jnp.moveaxis(z, 1, -1)
+        return fused + feat1 + feat2
+
+    def decoder(self, feat, train):
+        for layer in self.decode_layers:
+            feat = layer(feat, train)
+        return feat
+
+    def __call__(self, img1, img2=None, train=False):
+        if img2 is None:
+            return self.decoder(self.encoder(img1, train), train)
+        feat1 = self.encoder(img1, train)
+        feat2 = self.encoder(img2, train)
+        return self.decoder(self.fusion(feat1, feat2, train), train)
+
+
+# ---------------------------------------------------------------------------
+# 2. infrared / visible fusion
+# ---------------------------------------------------------------------------
+
+
+class DeepFuse(_FusionModel):
+    """2-conv (k5,k7) encoder, elementwise-sum fusion, 3-conv decoder."""
+
+    fusion_mode: str = "sum"
+
+    def setup(self):
+        self.enc = [
+            ConvLayer(16, ksize=5, name="enc0"),
+            ConvLayer(32, ksize=7, name="enc1"),
+        ]
+        self.dec = [
+            ConvLayer(32, ksize=7, name="dec0"),
+            ConvLayer(16, ksize=5, name="dec1"),
+            ConvLayer(1, ksize=5, act=None, name="dec2"),
+        ]
+
+    def encoder(self, img, train):
+        for layer in self.enc:
+            img = layer(img, train)
+        return img
+
+    def fusion(self, feat1, feat2):
+        return element_fusion(feat1, feat2, self.fusion_mode)
+
+    def decoder(self, feat, train):
+        for layer in self.dec:
+            feat = layer(feat, train)
+        return feat
+
+
+class DenseFuse(_FusionModel):
+    """Dense encoder (64ch), sum or l1-spatial-attention fusion."""
+
+    fusion_mode: str = "sum"     # 'sum' | 'l1'
+
+    def setup(self):
+        self.conv_in = ConvLayer(16, name="conv_in")
+        self.dense = DenseBlock(16, name="dense")
+        self.dec = [
+            ConvLayer(64, name="dec0"),
+            ConvLayer(32, name="dec1"),
+            ConvLayer(16, name="dec2"),
+            ConvLayer(1, act=None, name="dec3"),
+        ]
+
+    def encoder(self, img, train):
+        return self.dense(self.conv_in(img, train), train)
+
+    def fusion(self, feat1, feat2):
+        if self.fusion_mode == "sum":
+            return element_fusion(feat1, feat2, "sum")
+        elif self.fusion_mode == "l1":
+            return attention_fusion(feat1, feat2, "sa", spatial_mode="l1")
+        raise ValueError("only supported ['sum', 'l1'] mode")
+
+    def decoder(self, feat, train):
+        for layer in self.dec:
+            feat = layer(feat, train)
+        return feat
+
+
+class VIFNet(_FusionModel):
+    """DenseFuse encoder, concat fusion, 5-conv decoder from 128ch."""
+
+    def setup(self):
+        self.conv_in = ConvLayer(16, name="conv_in")
+        self.dense = DenseBlock(16, name="dense")
+        self.dec = [
+            ConvLayer(128, name="dec0"),
+            ConvLayer(64, name="dec1"),
+            ConvLayer(32, name="dec2"),
+            ConvLayer(16, name="dec3"),
+            ConvLayer(1, act=None, name="dec4"),
+        ]
+
+    def encoder(self, img, train):
+        return self.dense(self.conv_in(img, train), train)
+
+    def fusion(self, feat1, feat2):
+        return concat_fusion((feat1, feat2))
+
+    def decoder(self, feat, train):
+        for layer in self.dec:
+            feat = layer(feat, train)
+        return feat
+
+
+class DBNet(_FusionModel):
+    """Dual-branch: detail (dense) + semantic (3x stride-2, x8 bilinear up)."""
+
+    fusion_mode: str = "sum"     # 'sum' | 'avg'
+
+    def setup(self):
+        self.conv_in = ConvLayer(32, name="conv_in")
+        self.detail = [
+            ConvLayer(16, name="detail0"),
+            DenseBlock(16, name="detail1"),
+        ]
+        self.semantic = [
+            ConvLayer(64, stride=2, name="semantic0"),
+            ConvLayer(128, stride=2, name="semantic1"),
+            ConvLayer(64, stride=2, name="semantic2"),
+        ]
+        self.up = Upsample("bilinear", 8, name="up")
+        self.dec = [
+            ConvLayer(64, name="dec0"),
+            ConvLayer(32, name="dec1"),
+            ConvLayer(16, name="dec2"),
+            ConvLayer(1, act=None, name="dec3"),
+        ]
+
+    def encoder(self, img, train):
+        feat = self.conv_in(img, train)
+        d = feat
+        for layer in self.detail:
+            d = layer(d, train)
+        s = feat
+        for layer in self.semantic:
+            s = layer(s, train)
+        s = self.up(s, feat.shape)
+        return concat_fusion((d, s))
+
+    def fusion(self, feat1, feat2):
+        if self.fusion_mode == "sum":
+            return element_fusion(feat1, feat2, "sum")
+        elif self.fusion_mode == "avg":
+            return attention_fusion(feat1, feat2, "ca", channel_mode="avg")
+        raise ValueError("only supported ['sum', 'avg'] mode")
+
+    def decoder(self, feat, train):
+        for layer in self.dec:
+            feat = layer(feat, train)
+        return feat
+
+
+class SEDRFuse(nn.Module):
+    """Symmetric encoder-decoder with residual block; cross encode/decode
+    skips; max fusion of shallow feats + softmax-attention fusion of the
+    deep residual feat (model.py:247-316)."""
+
+    norm: Optional[str] = "group"
+
+    def setup(self):
+        self.enc0 = ConvLayer(64, norm=self.norm, name="enc0")
+        self.enc1 = ConvLayer(128, stride=2, norm=self.norm, name="enc1")
+        self.enc2 = ConvLayer(256, stride=2, norm=self.norm, name="enc2")
+        self.res = ResBlock(256, norm1=self.norm, norm2=self.norm,
+                            name="res")
+        self.dec0 = ConvLayer(128, stride=2, norm=self.norm, transpose=True,
+                              name="dec0")
+        self.dec1 = ConvLayer(64, stride=2, norm=self.norm, transpose=True,
+                              name="dec1")
+        self.dec2 = ConvLayer(1, name="dec2")
+
+    def encoder(self, img, train):
+        f_conv1 = self.enc0(img, train)
+        f_conv2 = self.enc1(f_conv1, train)
+        f_conv3 = self.enc2(f_conv2, train)
+        f_res = self.res(f_conv3, train)
+        return f_conv1, f_conv2, f_res
+
+    def fusion(self, feat1, feat2):
+        tmp1 = jnp.abs(feat1)
+        tmp2 = jnp.abs(feat2)
+        att1 = jax.nn.softmax(tmp1, axis=-1) * tmp1
+        att2 = jax.nn.softmax(tmp2, axis=-1) * tmp2
+        s1 = spatial_pooling(att1, mode="sum")
+        s2 = spatial_pooling(att2, mode="sum")
+        return weighted_fusion(feat1, feat2, s1, s2)
+
+    def decoder(self, f_conv1, f_conv2, f_res, train):
+        f1 = jax.nn.relu(f_conv2 + self.dec0(f_res, train))
+        f2 = jax.nn.relu(f_conv1 + self.dec1(f1, train))
+        return self.dec2(f2, train)
+
+    def __call__(self, img1, img2=None, train=False):
+        if img2 is None:
+            f_conv1, f_conv2, f_res = self.encoder(img1, train)
+            return self.decoder(f_conv1, f_conv2, f_res, train)
+        f1_conv1, f1_conv2, f1_res = self.encoder(img1, train)
+        f2_conv1, f2_conv2, f2_res = self.encoder(img2, train)
+        f_conv1 = element_fusion(f1_conv1, f2_conv1, mode="max")
+        f_conv2 = element_fusion(f1_conv2, f2_conv2, mode="max")
+        f_res = self.fusion(f1_res, f2_res)
+        return self.decoder(f_conv1, f_conv2, f_res, train)
+
+
+class NestFuse(_FusionModel):
+    """4-scale ConvBlock encoder + U-Net++ decoder, per-scale sca attention
+    fusion."""
+
+    down_mode: str = "maxpool"
+    up_mode: str = "nearest"
+    fusion_mode: str = "sca"
+    num_ch: Sequence[int] = (64, 112, 160, 208)
+
+    def setup(self):
+        ch = self.num_ch
+        self.conv_in = ConvLayer(16, ksize=1, name="conv_in")
+        self.CB1_0 = ConvBlock(ch[0], name="CB1_0")
+        self.CB2_0 = ConvBlock(ch[1], name="CB2_0")
+        self.CB3_0 = ConvBlock(ch[2], name="CB3_0")
+        self.CB4_0 = ConvBlock(ch[3], name="CB4_0")
+        if self.down_mode == "stride":
+            self.down1 = ConvLayer(ch[0], stride=2, name="down1")
+            self.down2 = ConvLayer(ch[1], stride=2, name="down2")
+            self.down3 = ConvLayer(ch[2], stride=2, name="down3")
+        self.decode = NestDecoder(ConvBlock, ch, self.up_mode, name="decode")
+        self.conv_out = ConvLayer(1, ksize=1, name="conv_out")
+
+    def _down(self, which, x, train):
+        if self.down_mode == "maxpool":
+            return max_pool(x, 2, 2)
+        return getattr(self, f"down{which}")(x, train)
+
+    def encoder(self, img, train):
+        x1_0 = self.CB1_0(self.conv_in(img, train), train)
+        x2_0 = self.CB2_0(self._down(1, x1_0, train), train)
+        x3_0 = self.CB3_0(self._down(2, x2_0, train), train)
+        x4_0 = self.CB4_0(self._down(3, x3_0, train), train)
+        return x1_0, x2_0, x3_0, x4_0
+
+    def fusion(self, feats1, feats2):
+        return tuple(
+            attention_fusion(f1, f2, self.fusion_mode)
+            for f1, f2 in zip(feats1, feats2))
+
+    def decoder(self, feats, train):
+        return self.conv_out(self.decode(feats, train), train)
+
+
+class RFNNest(NestFuse):
+    """NestFuse + learned per-scale RFN fusion modules."""
+
+    def setup(self):
+        NestFuse.setup(self)
+        self.RFN1 = RFN(self.num_ch[0], name="RFN1")
+        self.RFN2 = RFN(self.num_ch[1], name="RFN2")
+        self.RFN3 = RFN(self.num_ch[2], name="RFN3")
+        self.RFN4 = RFN(self.num_ch[3], name="RFN4")
+
+    def fusion(self, feats1, feats2, train=False):
+        return (
+            self.RFN1(feats1[0], feats2[0], train),
+            self.RFN2(feats1[1], feats2[1], train),
+            self.RFN3(feats1[2], feats2[2], train),
+            self.RFN4(feats1[3], feats2[3], train),
+        )
+
+
+class UNFusion(_FusionModel):
+    """Dense multi-scale encoder grid + U-Net++ decoder, wavg fusion."""
+
+    down_mode: str = "stride"
+    up_mode: str = "bilinear"
+    fusion_mode: str = "wavg"
+
+    def setup(self):
+        enc_ch = (16, 32, 48, 64)
+        dec_ch = (16, 64, 256, 1024)
+        self.enc_ch, self.dec_ch = enc_ch, dec_ch
+        self.CB1_0 = ConvLayer(enc_ch[0], name="CB1_0")
+        self.CB2_0 = ConvLayer(enc_ch[1], name="CB2_0")
+        self.CB3_0 = ConvLayer(enc_ch[2], name="CB3_0")
+        self.CB4_0 = ConvLayer(enc_ch[3], name="CB4_0")
+        if self.down_mode == "stride":
+            self.down1 = ConvLayer(enc_ch[0], stride=2, name="down1")
+            self.down2 = ConvLayer(enc_ch[1], stride=2, name="down2")
+            self.down3 = ConvLayer(enc_ch[2], stride=2, name="down3")
+        self.encode = NestEncoder(ECB, enc_ch, dec_ch, self.down_mode,
+                                  name="encode")
+        self.decode = NestDecoder(DCB, dec_ch, self.up_mode, name="decode")
+        self.conv_out = ConvLayer(1, ksize=1, name="conv_out")
+
+    def _down(self, which, x, train):
+        if self.down_mode == "maxpool":
+            return max_pool(x, 2, 2)
+        return getattr(self, f"down{which}")(x, train)
+
+    def encoder(self, img, train):
+        x1_0 = self.CB1_0(img, train)
+        d1_0 = self._down(1, x1_0, train)
+        x2_0 = self.CB2_0(d1_0, train)
+        d2_0 = self._down(2, x2_0, train)
+        x3_0 = self.CB3_0(d2_0, train)
+        d3_0 = self._down(3, x3_0, train)
+        x4_0 = self.CB4_0(d3_0, train)
+        return self.encode(
+            (x1_0, (x2_0, d1_0), (x3_0, d2_0), (x4_0, d3_0)), train)
+
+    def fusion(self, feats1, feats2):
+        return tuple(
+            attention_fusion(f1, f2, self.fusion_mode)
+            for f1, f2 in zip(feats1, feats2))
+
+    def decoder(self, feats, train):
+        return self.conv_out(self.decode(feats, train), train)
+
+
+class Res2Fusion(_FusionModel):
+    """Dense Res2 blocks + double non-local attention fusion."""
+
+    fusion_method: str = "attn"   # 'elem' | 'attn'
+    spatial_mode: str = "nl"
+    channel_mode: str = "nl"
+
+    def setup(self):
+        self.conv_in = ConvLayer(16, name="conv_in")
+        self.RB1 = Res2ConvBlock(32, scale=4, name="RB1")
+        self.RB2 = Res2ConvBlock(64, scale=8, name="RB2")
+        self.dec = [
+            ConvLayer(64, name="dec0"),
+            ConvLayer(32, name="dec1"),
+            ConvLayer(16, name="dec2"),
+            ConvLayer(1, name="dec3"),   # ref keeps default ReLU here
+        ]
+
+    def encoder(self, img, train):
+        x = self.conv_in(img, train)
+        x = concat_fusion((x, self.RB1(x, train)))
+        x = concat_fusion((x, self.RB2(x, train)))
+        return x
+
+    def fusion(self, feat1, feat2):
+        if self.fusion_method == "elem":
+            return element_fusion(feat1, feat2, "mean")
+        elif self.fusion_method == "attn":
+            return attention_fusion(feat1, feat2, "sca", self.spatial_mode,
+                                    self.channel_mode)
+        raise ValueError("only supported ['elem', 'attn'] mode")
+
+    def decoder(self, feat, train):
+        for layer in self.dec:
+            feat = layer(feat, train)
+        return feat
+
+
+class MAFusion(NestFuse):
+    """NestFuse variant with wider channels and a U-Net3+ decoder."""
+
+    down_mode: str = "maxpool"
+    up_mode: str = "bilinear"
+    num_ch: Sequence[int] = (64, 128, 256, 512)
+
+    def setup(self):
+        ch = self.num_ch
+        self.conv_in = ConvLayer(16, ksize=1, name="conv_in")
+        self.CB1_0 = ConvBlock(ch[0], name="CB1_0")
+        self.CB2_0 = ConvBlock(ch[1], name="CB2_0")
+        self.CB3_0 = ConvBlock(ch[2], name="CB3_0")
+        self.CB4_0 = ConvBlock(ch[3], name="CB4_0")
+        if self.down_mode == "stride":
+            self.down1 = ConvLayer(ch[0], stride=2, name="down1")
+            self.down2 = ConvLayer(ch[1], stride=2, name="down2")
+            self.down3 = ConvLayer(ch[2], stride=2, name="down3")
+        self.decode = FSDecoder(ConvBlock, ch, self.up_mode, name="decode")
+        self.conv_out = ConvLayer(1, ksize=1, name="conv_out")
+
+
+# ---------------------------------------------------------------------------
+# 3. general image fusion
+# ---------------------------------------------------------------------------
+
+
+class IFCNN(_FusionModel):
+    """7x7 + BN conv encoder, elementwise-max fusion."""
+
+    norm: Optional[str] = "batch"
+
+    def setup(self):
+        self.enc = [
+            ConvLayer(64, ksize=7, act=None, name="enc0"),
+            ConvLayer(64, norm=self.norm, name="enc1"),
+        ]
+        self.dec = [
+            ConvLayer(64, norm=self.norm, name="dec0"),
+            ConvLayer(1, ksize=1, act=None, name="dec1"),
+        ]
+
+    def encoder(self, img, train):
+        for layer in self.enc:
+            img = layer(img, train)
+        return img
+
+    def fusion(self, feat1, feat2):
+        return element_fusion(feat1, feat2, "max")
+
+    def decoder(self, feat, train):
+        for layer in self.dec:
+            feat = layer(feat, train)
+        return feat
+
+
+class DIFNet(_FusionModel):
+    """ResBlock encoder/decoder with a learned 1-conv concat fusion."""
+
+    norm: Optional[str] = "batch"
+
+    def setup(self):
+        self.enc = [
+            ConvLayer(16, name="enc0"),
+            ResBlock(16, norm1=self.norm, name="enc1"),
+            ResBlock(16, norm1=self.norm, name="enc2"),
+        ]
+        self.fuse = ConvLayer(16, act=None, name="fuse")
+        self.dec = [
+            ResBlock(16, norm1=self.norm, name="dec0"),
+            ResBlock(16, norm1=self.norm, name="dec1"),
+            ResBlock(16, norm1=self.norm, name="dec2"),
+            ConvLayer(1, act=None, name="dec3"),
+        ]
+
+    def encoder(self, img, train):
+        for layer in self.enc:
+            img = layer(img, train)
+        return img
+
+    def fusion(self, feat1, feat2, train=False):
+        return self.fuse(concat_fusion((feat1, feat2)), train)
+
+    def decoder(self, feat, train):
+        for layer in self.dec:
+            feat = layer(feat, train)
+        return feat
+
+    def __call__(self, img1, img2=None, train=False):
+        if img2 is None:
+            return self.decoder(self.encoder(img1, train), train)
+        feat1 = self.encoder(img1, train)
+        feat2 = self.encoder(img2, train)
+        return self.decoder(self.fusion(feat1, feat2, train), train)
+
+
+class PMGI(nn.Module):
+    """Proportional maintenance of gradient and intensity: two 4-layer paths
+    with cross-path 1x1 transfer convs, Tanh head, out/2+0.5.
+
+    Reference quirk preserved (model.py:591): `transfer1[1]` is constructed
+    but never called — `f1_conv2` uses `transfer2[1]`. We create the dead
+    layer too so parameter counts match.
+    """
+
+    norm: Optional[str] = "batch"
+    act: Optional[str] = "lrelu"
+
+    def setup(self):
+        kw = dict(norm=self.norm, act=self.act)
+        self.gradient = [
+            ConvLayer(16, ksize=5, name="gradient0", **kw),
+            ConvLayer(16, name="gradient1", **kw),
+            ConvLayer(16, name="gradient2", **kw),
+            ConvLayer(16, name="gradient3", **kw),
+        ]
+        self.intensity = [
+            ConvLayer(16, ksize=5, name="intensity0", **kw),
+            ConvLayer(16, name="intensity1", **kw),
+            ConvLayer(16, name="intensity2", **kw),
+            ConvLayer(16, name="intensity3", **kw),
+        ]
+        self.transfer1 = [
+            ConvLayer(16, ksize=1, name="transfer1_0", **kw),
+            ConvLayer(16, ksize=1, name="transfer1_1", **kw),  # dead layer
+        ]
+        self.transfer2 = [
+            ConvLayer(16, ksize=1, name="transfer2_0", **kw),
+            ConvLayer(16, ksize=1, name="transfer2_1", **kw),
+        ]
+        self.decode = ConvLayer(1, ksize=1, act="tanh", name="decode")
+
+    def __call__(self, img1, img2, train=False):
+        x1 = concat_fusion((img1, img1, img2))
+        x2 = concat_fusion((img2, img2, img1))
+        f0_1 = self.gradient[0](x1, train)
+        f0_2 = self.intensity[0](x2, train)
+
+        f1_1 = self.gradient[1](f0_1, train)
+        f1_2 = self.intensity[1](f0_2, train)
+        f1 = concat_fusion((f1_1, f1_2))
+        f1_conv1 = self.transfer1[0](f1, train)
+        f1_conv2 = self.transfer2[1](f1, train)     # quirk: not transfer1[1]
+        # materialize the dead layer's params (flax creates params only for
+        # called modules); its output is unused and DCE'd by XLA.
+        _ = self.transfer1[1](f1, train)
+        f1_fuse1 = concat_fusion((f0_1, f1_1, f1_conv1))
+        f1_fuse2 = concat_fusion((f0_2, f1_2, f1_conv2))
+
+        f2_1 = self.gradient[2](f1_fuse1, train)
+        f2_2 = self.intensity[2](f1_fuse2, train)
+        f2 = concat_fusion((f2_1, f2_2))
+        f2_conv1 = self.transfer2[0](f2, train)
+        f2_conv2 = self.transfer2[1](f2, train)
+        f2_fuse1 = concat_fusion((f0_1, f1_1, f2_1, f2_conv1))
+        f2_fuse2 = concat_fusion((f0_2, f1_2, f2_2, f2_conv2))
+
+        f3_1 = self.gradient[3](f2_fuse1, train)
+        f3_2 = self.intensity[3](f2_fuse2, train)
+
+        feats = concat_fusion(
+            (f0_1, f0_2, f1_1, f1_2, f2_1, f2_2, f3_1, f3_2))
+        out = self.decode(feats, train)
+        return out / 2.0 + 0.5
+
+
+# ---------------------------------------------------------------------------
+# 4. configurable meta-model
+# ---------------------------------------------------------------------------
+
+_ENCODERS = {
+    "sep": SepConvBlock,
+    "mix": MixConvBlock,
+    "res2": Res2ConvBlock,
+    "conv_former": ConvFormerBlock,
+    "mix_former": MixFormerBlock,
+    "res2_former": Res2FormerBlock,
+    "transformer": TransformerBlock,
+}
+
+_DECODERS = {
+    "plain": Decoder,
+    "ls": LSDecoder,
+    "nest": NestDecoder,
+    "fs": FSDecoder,
+}
+
+
+class MyFusion(nn.Module):
+    """Fully configurable 4-scale meta-model (model.py:630-842): encoder
+    block type(s), decoder topology, fusion method x mode, down/up modes,
+    and how many encoder levels are siamese-shared (4 = fully shared)."""
+
+    encoder: Union[str, Sequence[str]] = "sep"
+    decoder: str = "nest"
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[str] = "relu6"
+    fusion_method: str = "attn"    # 'elem' | 'attn' | 'concat' | 'rfn'
+    fusion_mode: str = "sca"
+    down_mode: str = "stride"
+    up_mode: str = "bilinear"
+    share_weight_levels: int = 4
+    num_ch: Sequence[int] = (16, 32, 64, 128)
+
+    def setup(self):
+        ch = self.num_ch
+        kw = dict(use_bias=self.use_bias, norm=self.norm, act=self.act)
+        tkw = dict(use_bias=self.use_bias, norm=self.norm, act=self.act,
+                   down_mode=self.down_mode)
+        swl = self.share_weight_levels
+
+        self.conv_in_1 = ConvLayer(8, ksize=1, name="conv_in_1", **kw)
+        self.down1_1 = TransitionBlock(ch[0], stride=1, name="down1_1",
+                                       use_bias=self.use_bias,
+                                       norm=self.norm, act=self.act)
+        self.down2_1 = TransitionBlock(ch[1], stride=2, name="down2_1",
+                                       **tkw)
+        self.down3_1 = TransitionBlock(ch[2], stride=2, name="down3_1",
+                                       **tkw)
+        self.down4_1 = TransitionBlock(ch[3], stride=2, name="down4_1",
+                                       **tkw)
+        if swl < 4:
+            self.conv_in_2 = ConvLayer(8, ksize=1, name="conv_in_2", **kw)
+            self.down1_2 = TransitionBlock(ch[0], stride=1, name="down1_2",
+                                           use_bias=self.use_bias,
+                                           norm=self.norm, act=self.act)
+        if swl < 3:
+            self.down2_2 = TransitionBlock(ch[1], stride=2, name="down2_2",
+                                           **tkw)
+        if swl < 2:
+            self.down3_2 = TransitionBlock(ch[2], stride=2, name="down3_2",
+                                           **tkw)
+        if swl < 1:
+            self.down4_2 = TransitionBlock(ch[3], stride=2, name="down4_2",
+                                           **tkw)
+
+        enc = self.encoder
+        if isinstance(enc, str):
+            enc = [enc] * 4
+        blocks = [_ENCODERS[e] for e in enc]
+        self.EB1_1 = blocks[0](ch[0], name="EB1_1")
+        self.EB2_1 = blocks[1](ch[1], name="EB2_1")
+        self.EB3_1 = blocks[2](ch[2], name="EB3_1")
+        self.EB4_1 = blocks[3](ch[3], name="EB4_1")
+        if swl < 4:
+            self.EB1_2 = blocks[0](ch[0], name="EB1_2")
+        if swl < 3:
+            self.EB2_2 = blocks[1](ch[1], name="EB2_2")
+        if swl < 2:
+            self.EB3_2 = blocks[2](ch[2], name="EB3_2")
+        if swl < 1:
+            self.EB4_2 = blocks[3](ch[3], name="EB4_2")
+
+        if self.fusion_method == "elem":
+            assert self.fusion_mode in ("sum", "mean", "max")
+        elif self.fusion_method == "attn":
+            assert self.fusion_mode in ("sa", "ca", "sca", "wavg")
+        elif self.fusion_method == "concat":
+            self.fuse1 = ConvLayer(ch[0], act=None, name="fuse1")
+            self.fuse2 = ConvLayer(ch[1], act=None, name="fuse2")
+            self.fuse3 = ConvLayer(ch[2], act=None, name="fuse3")
+            self.fuse4 = ConvLayer(ch[3], act=None, name="fuse4")
+        elif self.fusion_method == "rfn":
+            self.RFN1 = RFN(ch[0], name="RFN1")
+            self.RFN2 = RFN(ch[1], name="RFN2")
+            self.RFN3 = RFN(ch[2], name="RFN3")
+            self.RFN4 = RFN(ch[3], name="RFN4")
+        else:
+            raise ValueError(
+                "only supported ['elem', 'attn', 'concat', 'rfn'] method")
+
+        self.decode = _DECODERS[self.decoder](DCBlock, ch, self.up_mode,
+                                              name="decode")
+        self.conv_out = ConvLayer(1, ksize=1, name="conv_out", **kw)
+
+    def _branch(self, img, level_mods, train):
+        conv_in, d1, e1, d2, e2, d3, e3, d4, e4 = level_mods
+        x1 = e1(d1(conv_in(img, train), train), train)
+        x2 = e2(d2(x1, train), train)
+        x3 = e3(d3(x2, train), train)
+        x4 = e4(d4(x3, train), train)
+        return x1, x2, x3, x4
+
+    def encoder_fn(self, img1, img2, train):
+        swl = self.share_weight_levels
+        mods1 = (self.conv_in_1, self.down1_1, self.EB1_1, self.down2_1,
+                 self.EB2_1, self.down3_1, self.EB3_1, self.down4_1,
+                 self.EB4_1)
+        feats1 = self._branch(img1, mods1, train)
+
+        # second branch: levels < (4 - swl) use the unshared copies
+        conv_in = self.conv_in_2 if swl < 4 else self.conv_in_1
+        d1 = self.down1_2 if swl < 4 else self.down1_1
+        e1 = self.EB1_2 if swl < 4 else self.EB1_1
+        d2 = self.down2_2 if swl < 3 else self.down2_1
+        e2 = self.EB2_2 if swl < 3 else self.EB2_1
+        d3 = self.down3_2 if swl < 2 else self.down3_1
+        e3 = self.EB3_2 if swl < 2 else self.EB3_1
+        d4 = self.down4_2 if swl < 1 else self.down4_1
+        e4 = self.EB4_2 if swl < 1 else self.EB4_1
+        feats2 = self._branch(img2, (conv_in, d1, e1, d2, e2, d3, e3, d4,
+                                     e4), train)
+        return feats1, feats2
+
+    def fusion(self, feats1, feats2, train):
+        m = self.fusion_method
+        if m == "elem":
+            return tuple(
+                element_fusion(a, b, self.fusion_mode)
+                for a, b in zip(feats1, feats2))
+        if m == "attn":
+            return tuple(
+                attention_fusion(a, b, self.fusion_mode)
+                for a, b in zip(feats1, feats2))
+        if m == "concat":
+            fuses = (self.fuse1, self.fuse2, self.fuse3, self.fuse4)
+            return tuple(
+                fuse(concat_fusion((a, b)), train)
+                for fuse, a, b in zip(fuses, feats1, feats2))
+        if m == "rfn":
+            rfns = (self.RFN1, self.RFN2, self.RFN3, self.RFN4)
+            return tuple(
+                rfn(a, b, train) for rfn, a, b in zip(rfns, feats1, feats2))
+        raise ValueError(m)
+
+    def __call__(self, img1, img2, train=False):
+        feats1, feats2 = self.encoder_fn(img1, img2, train)
+        fused = self.fusion(feats1, feats2, train)
+        return self.conv_out(self.decode(fused, train), train)
+
+
+MODEL_ZOO = {
+    "deepfuse": DeepFuse,
+    "densefuse": DenseFuse,
+    "vifnet": VIFNet,
+    "dbnet": DBNet,
+    "sedrfuse": SEDRFuse,
+    "nestfuse": NestFuse,
+    "rfnnest": RFNNest,
+    "unfusion": UNFusion,
+    "res2fusion": Res2Fusion,
+    "mafusion": MAFusion,
+    "ifcnn": IFCNN,
+    "difnet": DIFNet,
+    "pmgi": PMGI,
+    "pfnetv1": PFNetv1,
+    "pfnetv2": PFNetv2,
+    "myfusion": MyFusion,
+}
+
+
+def create_model(name, **kwargs):
+    """Instantiate a zoo model by (case-insensitive) name."""
+    key = name.lower()
+    if key not in MODEL_ZOO:
+        raise ValueError(
+            f"unknown model {name!r}; available: {sorted(MODEL_ZOO)}")
+    return MODEL_ZOO[key](**kwargs)

@@ -137,6 +137,12 @@ class MixConvBlock(nn.Module):
 
         h = ConvLayer(hid_ch, ksize=1, act=self.act, name="pwconv1",
                       **kw)(x, train)
+        # dead parameter set kept for parity: the reference's
+        # Mix/Res2ConvBlock inherit SepConvBlock's `dwconv` module, which is
+        # constructed but never used in their forward (block.py:229-352);
+        # its output is discarded here and DCE'd by XLA.
+        _ = ConvLayer(hid_ch, ksize=3, groups=hid_ch, act=None,
+                      name="dwconv", **kw)(h, train)
         xs = jnp.split(h, self.scale, axis=-1)
         ys = [
             ConvLayer(width, ksize=2 * i + 1, groups=width, act=None,
@@ -186,6 +192,12 @@ class Res2ConvBlock(nn.Module):
 
         h = ConvLayer(hid_ch, ksize=1, act=self.act, name="pwconv1",
                       **kw)(x, train)
+        # dead parameter set kept for parity: the reference's
+        # Mix/Res2ConvBlock inherit SepConvBlock's `dwconv` module, which is
+        # constructed but never used in their forward (block.py:229-352);
+        # its output is discarded here and DCE'd by XLA.
+        _ = ConvLayer(hid_ch, ksize=3, groups=hid_ch, act=None,
+                      name="dwconv", **kw)(h, train)
         xs = jnp.split(h, self.scale, axis=-1)
         outs = []
         y = None

@@ -18,9 +18,9 @@ def natsort_key(s):
     key = []
     for p in parts:
         if p.isdigit():
-            key.append((1, int(p), ""))
+            key.append((0, int(p), ""))
         elif p:
-            key.append((0, 0, p))
+            key.append((1, 0, p))
     return key
 
 

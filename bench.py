@@ -40,10 +40,13 @@ def main():
 
     model = create_model(model_name)
     r = np.random.RandomState(0)
-    x1 = jnp.asarray(r.rand(batch, H, W, 1), dtype)
-    x2 = jnp.asarray(r.rand(batch, H, W, 1), dtype)
-    variables = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    x1 = jnp.asarray(r.rand(batch, H, W, 1), jnp.float32)
+    x2 = jnp.asarray(r.rand(batch, H, W, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1[:1], x2[:1],
+                           train=False)
     variables = jax.tree.map(lambda p: p.astype(dtype), variables)
+    x1 = x1.astype(dtype)
+    x2 = x2.astype(dtype)
 
     @jax.jit
     def fuse(v, a, b):

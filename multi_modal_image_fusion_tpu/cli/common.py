@@ -48,6 +48,15 @@ def get_train_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--ckpt_root", default=None, type=str,
                    help="checkpoints root (default <repo>/../checkpoints)")
+    _bool_flag(p, "ae", False,
+               "autoencoder-reconstruction pretraining (two-stage training, "
+               "single-image batches)")
+    p.add_argument("--resume", default=None, type=str,
+                   help="checkpoint folder name to resume from "
+                        "(loads epoch_last.ckpt; the reference cannot "
+                        "resume at all)")
+    _bool_flag(p, "profile", False,
+               "capture a jax.profiler trace of the first training epoch")
     return p
 
 

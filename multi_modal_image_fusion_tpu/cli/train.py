@@ -50,7 +50,9 @@ def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
         last = (batch, imgf)
 
         total = float(parts["loss"])
-        loss_meter.update(total, batch[0].shape[0])
+        n = (batch[0] if isinstance(batch, (tuple, list))
+             else batch).shape[0]
+        loss_meter.update(total, n)
 
         global_step = num_iters * epoch + it
         writer.add_scalar(f"{mode}_loss_iter", total, global_step)
@@ -65,9 +67,15 @@ def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
     logger.info(f"cost time: {time.time() - start_time:.3f}s\n")
 
     if save_dir is not None and last is not None:
-        (img1, img2), imgf = last
-        result = save_result(np.asarray(imgf)[0], np.asarray(img1)[0],
-                             np.asarray(img2)[0])
+        batch, imgf = last
+        if isinstance(batch, (tuple, list)):
+            result = save_result(np.asarray(imgf)[0],
+                                 np.asarray(batch[0])[0],
+                                 np.asarray(batch[1])[0])
+        else:  # AE mode: [input | reconstruction]
+            result = save_result(np.asarray(imgf)[0],
+                                 np.asarray(batch)[0],
+                                 np.asarray(imgf)[0])
         imwrite(os.path.join(save_dir, f"{epoch + 1:0>2}.png"), result)
 
     return state, loss_meter.avg
@@ -103,7 +111,15 @@ def main(argv=None):
         logger.info(f"using bundled sample data at {data_dir}")
 
     rng = np.random.RandomState(args.seed)
-    if args.use_patches:
+    if args.ae:
+        from ..data.dataset import AEDataset
+
+        train_set = AEDataset(data_dir, set_name=set_name_train,
+                              img_type=img_type, transform=True,
+                              fix_size=True, rng=rng)
+        valid_set = AEDataset(data_dir, set_name=set_name_train,
+                              img_type=img_type, fix_size=True, rng=rng)
+    elif args.use_patches:
         train_set = FusionPatches(data_dir, set_name=set_name_train,
                                   set_type="train", img_type=img_type,
                                   transform=True, rng=rng)
@@ -137,10 +153,24 @@ def main(argv=None):
     logger.info(f"grad mode: {args.grad_mode}, weight: {args.grad_weight}")
 
     trainer = Trainer(model, schedule, bundle,
-                      clip_grad=5.0 if args.clip_grad else None, mesh=mesh)
+                      clip_grad=5.0 if args.clip_grad else None, mesh=mesh,
+                      ae=args.ae)
 
     sample = next(iter(valid_feeder))
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
+
+    start_epoch = 0
+    if args.resume:
+        from ..train.checkpoint import load_checkpoint, load_checkpoint_meta
+
+        resume_path = os.path.join(ckpt_root, args.resume,
+                                   "epoch_last.ckpt")
+        state = load_checkpoint(resume_path, jax.device_get(state))
+        from ..parallel.mesh import replicate
+
+        state = replicate(state, mesh)
+        start_epoch = int(load_checkpoint_meta(resume_path).get("epoch", 0))
+        logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state.params))
     logger.info(f"params: {n_params / 1e6:.3f}M")
@@ -153,7 +183,9 @@ def main(argv=None):
     meta = {"model": args.model, "data": args.data}
     best_epoch, best_loss = 0, 0.0
     try:
-        for epoch in range(args.epoch):
+        for epoch in range(start_epoch, args.epoch):
+            if args.profile and epoch == start_epoch:
+                jax.profiler.start_trace(os.path.join(ckpt_dir, "profile"))
             lr_now = float(schedule(int(state.step)))
             logger.info(f"Epoch: [{epoch + 1:0>2}/{args.epoch:0>2}], "
                         f"lr: {lr_now:.2e}")
@@ -166,6 +198,10 @@ def main(argv=None):
             state, valid_loss = run_epoch(trainer, state, valid_feeder,
                                           epoch, "valid", logger, writer,
                                           valid_dir)
+            if args.profile and epoch == start_epoch:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to "
+                            f"{os.path.join(ckpt_dir, 'profile')}")
 
             writer.add_scalar("train_loss_epoch", train_loss, epoch)
             writer.add_scalar("valid_loss_epoch", valid_loss, epoch)

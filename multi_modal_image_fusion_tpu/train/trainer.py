@@ -53,11 +53,18 @@ def make_loss_bundle(ssim_mode="ssim", ssim_weight=1.0,
 
 
 class Trainer:
-    """Owns model/optimizer/mesh and exposes jit'd step functions."""
+    """Owns model/optimizer/mesh and exposes jit'd step functions.
+
+    `ae=True` switches to autoencoder-reconstruction mode for two-stage
+    pretraining (reference model.py:43-51 one-input path + AEDataset):
+    batches are single images, the model runs with img2=None, and the loss
+    bundle compares the reconstruction against the input.
+    """
 
     def __init__(self, model, lr_schedule, loss_bundle=None, clip_grad=5.0,
-                 betas=(0.9, 0.999), mesh=None):
+                 betas=(0.9, 0.999), mesh=None, ae=False):
         self.model = model
+        self.ae = ae
         self.loss_bundle = loss_bundle or make_loss_bundle()
         self.mesh = mesh if mesh is not None else make_mesh()
 
@@ -73,7 +80,7 @@ class Trainer:
 
     # -- state ------------------------------------------------------------
     def init_state(self, rng, sample_batch):
-        img1, img2 = sample_batch
+        img1, img2 = self._unpack(sample_batch)
         variables = self.model.init(rng, img1, img2, train=True)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
@@ -84,6 +91,13 @@ class Trainer:
 
     def shard(self, batch):
         return shard_batch(batch, self.mesh)
+
+    def _unpack(self, batch):
+        if self.ae:
+            img = batch[0] if isinstance(batch, (tuple, list)) else batch
+            return img, None
+        img1, img2 = batch
+        return img1, img2
 
     # -- steps ------------------------------------------------------------
     def _apply(self, params, batch_stats, img1, img2, train):
@@ -98,10 +112,12 @@ class Trainer:
         return out, batch_stats
 
     def _train_step_impl(self, state, img1, img2):
+        tgt2 = img1 if img2 is None else img2
+
         def loss_fn(params):
             imgf, new_stats = self._apply(params, state.batch_stats, img1,
                                           img2, train=True)
-            total, parts = self.loss_bundle(img1, img2, imgf)
+            total, parts = self.loss_bundle(img1, tgt2, imgf)
             return total, (parts, new_stats, imgf)
 
         grads, (parts, new_stats, imgf) = jax.grad(
@@ -114,15 +130,16 @@ class Trainer:
         return state, parts, imgf
 
     def _valid_step_impl(self, state, img1, img2):
+        tgt2 = img1 if img2 is None else img2
         imgf, _ = self._apply(state.params, state.batch_stats, img1, img2,
                               train=False)
-        _, parts = self.loss_bundle(img1, img2, imgf)
+        _, parts = self.loss_bundle(img1, tgt2, imgf)
         return parts, imgf
 
     def train_step(self, state, batch):
-        img1, img2 = batch
+        img1, img2 = self._unpack(batch)
         return self._train_step(state, img1, img2)
 
     def valid_step(self, state, batch):
-        img1, img2 = batch
+        img1, img2 = self._unpack(batch)
         return self._valid_step(state, img1, img2)

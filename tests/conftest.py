@@ -4,11 +4,14 @@ fake-multihost trick; see SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU with 8 virtual devices. The container boots jax through the
+# axon TPU-tunnel plugin (sitecustomize sets jax_platforms itself), so env
+# vars alone don't stick — override the config before any backend
+# initialization instead.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

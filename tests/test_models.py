@@ -116,10 +116,7 @@ def test_myfusion_design_space(encoder, decoder):
                      fusion_mode="sum")
     x = jnp.ones((1, 32, 32, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
-    mutable = ["batch_stats"] if "batch_stats" in variables else []
-    y = model.apply(variables, x, x, train=False, mutable=mutable)
-    if mutable:
-        y = y[0]
+    y = model.apply(variables, x, x, train=False)
     assert y.shape == (1, 32, 32, 1)
 
 

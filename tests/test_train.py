@@ -1,0 +1,102 @@
+"""Training-stack tests: LR schedule parity with torch MultiStepLR/warmup
+semantics, checkpoint save/load roundtrip, loss decrease on a toy task, and
+the reference's loss-bundle defaults."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_image_fusion_tpu.models import create_model
+from multi_modal_image_fusion_tpu.parallel.mesh import make_mesh
+from multi_modal_image_fusion_tpu.train.checkpoint import (load_checkpoint,
+                                                           save_checkpoint)
+from multi_modal_image_fusion_tpu.train.schedules import make_lr_schedule
+from multi_modal_image_fusion_tpu.train.trainer import (Trainer,
+                                                        make_loss_bundle)
+
+
+def test_multistep_schedule():
+    # 12 epochs, 10 steps/epoch -> milestones at epochs 8 and 11
+    # (reference train.py:148: round(2/3*12)=8, round(8/9*12)=11)
+    sched = make_lr_schedule(1e-4, steps_per_epoch=10, num_epochs=12)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(79)) == pytest.approx(1e-4)
+    assert float(sched(80)) == pytest.approx(1e-5)
+    assert float(sched(109)) == pytest.approx(1e-5)
+    assert float(sched(110)) == pytest.approx(1e-6)
+
+
+def test_warmup_schedule():
+    sched = make_lr_schedule(1e-4, steps_per_epoch=100, num_epochs=12,
+                             warmup=True, warmup_factor=0.001)
+    assert float(sched(0)) == pytest.approx(1e-4 * 0.001)
+    assert float(sched(50)) == pytest.approx(1e-4 * (0.001 + 0.999 * 0.5))
+    assert float(sched(100)) == pytest.approx(1e-4)
+
+
+def _toy_setup(model_name="deepfuse"):
+    model = create_model(model_name)
+    sched = make_lr_schedule(1e-3, 10, 12)
+    trainer = Trainer(model, sched, mesh=make_mesh(jax.devices()[:1]))
+    r = np.random.RandomState(0)
+    img1 = jnp.asarray(r.rand(4, 32, 32, 1).astype("float32"))
+    img2 = jnp.asarray(r.rand(4, 32, 32, 1).astype("float32"))
+    batch = trainer.shard((img1, img2))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    return trainer, state, batch
+
+
+def test_loss_decreases():
+    trainer, state, batch = _toy_setup()
+    state, parts0, _ = trainer.train_step(state, batch)
+    first = float(parts0["loss"])
+    for _ in range(10):
+        state, parts, _ = trainer.train_step(state, batch)
+    assert float(parts["loss"]) < first
+
+
+def test_loss_bundle_components():
+    bundle = make_loss_bundle()
+    r = np.random.RandomState(0)
+    x1 = jnp.asarray(r.rand(2, 64, 64, 1).astype("float32"))
+    x2 = jnp.asarray(r.rand(2, 64, 64, 1).astype("float32"))
+    y = jnp.asarray(r.rand(2, 64, 64, 1).astype("float32"))
+    total, parts = bundle(x1, x2, y)
+    np.testing.assert_allclose(
+        float(total),
+        float(parts["loss1"]) + float(parts["loss2"]) +
+        float(parts["loss3"]), rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer, state, batch = _toy_setup()
+    state, _, _ = trainer.train_step(state, batch)
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, state, {"model": "deepfuse", "epoch": 1})
+
+    trainer2, state2, _ = _toy_setup()
+    restored = load_checkpoint(path, jax.device_get(state2))
+    a = jax.tree.leaves(jax.device_get(state.params))
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int(restored.step) == 1
+
+    from multi_modal_image_fusion_tpu.train.checkpoint import \
+        load_checkpoint_meta
+
+    meta = load_checkpoint_meta(path)
+    assert meta["model"] == "deepfuse"
+
+
+def test_resumed_state_continues_training():
+    trainer, state, batch = _toy_setup()
+    for _ in range(3):
+        state, parts, _ = trainer.train_step(state, batch)
+    l3 = float(parts["loss"])
+    state, parts, _ = trainer.train_step(state, batch)
+    assert float(parts["loss"]) <= l3 * 1.5  # still sane after many steps
+    assert int(state.step) == 4

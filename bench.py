@@ -49,16 +49,21 @@ def main():
     x2 = x2.astype(dtype)
 
     @jax.jit
-    def fuse(v, a, b):
-        return model.apply(v, a, b, train=False)
+    def fuse_step(a, b):
+        y = model.apply(variables, a, b, train=False)
+        # derive the next input from the output: serializes iterations and
+        # defeats result-caching/dedup of identical executions in the
+        # runtime (repeat-same-args timing reads absurdly fast)
+        a_next = a + y.mean().astype(a.dtype) * jnp.asarray(1e-6, a.dtype)
+        return a_next, y
 
     # compile warmup
-    y = fuse(variables, x1, x2)
+    x1, y = fuse_step(x1, x2)
     jax.block_until_ready(y)
 
     start = time.perf_counter()
     for _ in range(iters):
-        y = fuse(variables, x1, x2)
+        x1, y = fuse_step(x1, x2)
     jax.block_until_ready(y)
     elapsed = time.perf_counter() - start
 

@@ -87,24 +87,22 @@ def calc_scd(img1, img2, imgf):
     return calc_cc(imgf - img1, img2) + calc_cc(imgf - img2, img1)
 
 
-# 9-12. information metrics: device scatter-add histograms
+# 9-12. information metrics: MXU one-hot-matmul histograms (histogram.py —
+# scatter-add is pathologically slow on TPU)
 def calc_prob(img):
     """256-bin histogram over [0,256) -> probabilities
     (torch.histc semantics, metric.py:103-116)."""
-    idx = jnp.clip(img.astype(jnp.int32), 0, 255).reshape(-1)
-    hist = jnp.zeros((256,), jnp.float32).at[idx].add(1.0)
-    return hist / img.size
+    from .histogram import histogram256
+
+    return histogram256(img) / img.size
 
 
 def calc_joint_prob(img1, img2):
     """256x256 joint histogram (np.histogram2d semantics,
-    metric.py:129-145) via a single scatter-add on the flattened 2-D bin
-    index."""
-    i1 = jnp.clip(img1.astype(jnp.int32), 0, 255).reshape(-1)
-    i2 = jnp.clip(img2.astype(jnp.int32), 0, 255).reshape(-1)
-    idx = i1 * 256 + i2
-    hist = jnp.zeros((256 * 256,), jnp.float32).at[idx].add(1.0)
-    return hist / img1.size
+    metric.py:129-145)."""
+    from .histogram import joint_histogram256
+
+    return joint_histogram256(img1, img2).reshape(-1) / img1.size
 
 
 def _plogp(p):

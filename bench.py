@@ -11,6 +11,7 @@ Prints ONE JSON line:
    "unit": "pairs/s", "vs_baseline": N / 2000}
 """
 
+import functools
 import json
 import os
 import sys
@@ -48,23 +49,29 @@ def main():
     x1 = x1.astype(dtype)
     x2 = x2.astype(dtype)
 
-    @jax.jit
-    def fuse_step(a, b):
-        y = model.apply(variables, a, b, train=False)
-        # derive the next input from the output: serializes iterations and
-        # defeats result-caching/dedup of identical executions in the
-        # runtime (repeat-same-args timing reads absurdly fast)
-        a_next = a + y.mean().astype(a.dtype) * jnp.asarray(1e-6, a.dtype)
-        return a_next, y
+    # On-device timing loop: host-side dispatch through this environment's
+    # TPU relay costs ~20ms per dependent execution, so the loop runs as a
+    # single jit'd lax.fori_loop; each iteration chains its input to the
+    # previous output (serial, dedup-proof) and only two dispatches happen
+    # (warmup + timed).
+    @functools.partial(jax.jit, static_argnames="n")
+    def bench_loop(a, b, n):
+        def body(i, carry):
+            a, s = carry
+            y = model.apply(variables, a, b, train=False)
+            a = a + y.mean().astype(a.dtype) * jnp.asarray(1e-6, a.dtype)
+            return a, s + y[0, 0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, (a, jnp.float32(0.0)))
 
-    # compile warmup
-    x1, y = fuse_step(x1, x2)
-    jax.block_until_ready(y)
+    out = bench_loop(x1, x2, iters)          # compile + warmup
+    jax.block_until_ready(out)
 
+    # different input values: repeated identical executions are served from
+    # a result cache by the relay
+    x1 = x1 + jnp.asarray(1e-3, x1.dtype)
     start = time.perf_counter()
-    for _ in range(iters):
-        x1, y = fuse_step(x1, x2)
-    jax.block_until_ready(y)
+    out = bench_loop(x1, x2, iters)
+    jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
 
     pairs_per_sec = batch * iters / elapsed

@@ -214,12 +214,30 @@ def calc_Labf(img1, img2, imgf, L=1.5):
 # 16-17. SSIM / MS-SSIM (metric contract: scalar, data_range 255,
 # sigma fixed at 1.5 — metric.py:290-402; NB this duplicates the loss-side
 # SSIM with a different return contract, as in the reference)
+def _use_pallas_ssim(img, ws):
+    import os
+
+    import jax as _jax
+
+    if os.environ.get("MMIF_NO_PALLAS"):
+        return False
+    return (_jax.default_backend() == "tpu" and img.shape[-1] == 1
+            and img.shape[1] >= ws and img.shape[2] >= ws)
+
+
 def calc_ssim(img1, img2, win_size=11, data_range=255.0, use_padding=False,
               size_average=True, full=False):
     h, w = img1.shape[1:3]
     ws = min(win_size, h, w)
-    kernel1d = gaussian_kernel(ws, 1.5)
-    ssim, cs, _ = ssim_maps(img1, img2, kernel1d, data_range, use_padding)
+    if _use_pallas_ssim(img1, ws):
+        from .pallas.ssim_kernel import ssim_maps_pallas
+
+        ssim, cs, _ = ssim_maps_pallas(img1, img2, ws, float(data_range),
+                                       use_padding, sigma=1.5)
+    else:
+        kernel1d = gaussian_kernel(ws, 1.5)
+        ssim, cs, _ = ssim_maps(img1, img2, kernel1d, data_range,
+                                use_padding)
     if size_average:
         ssim = ssim.mean()
         cs = cs.mean()

@@ -1,0 +1,106 @@
+"""Shifted-GEMM convolution: a Pallas TPU kernel for small-channel convs.
+
+The zoo's convs have 16-64 channels; XLA's conv lowering leaves the MXU
+mostly idle there (output channels map to the 128-wide lane dim: N=32 ->
+<=25% utilization; measured ~16 TFLOPS vs ~121 TFLOPS for dense matmul on
+this chip). This kernel reshapes the conv into ONE dense matmul whose K and
+N dims are both multiplied by the kernel width:
+
+    A[(r, w), (kh, c)]       row-shifted stack of the input strip
+    Wm[(kh, c), (kw, n)]     = W[kh, kw, c, n]  (dense, no zero padding)
+    P = A @ Wm               M x (k*C_in) x (k*C_out) on the MXU
+    out[r, w, n] = sum_kw P[(r, w + kw), (kw, n)]   (static-slice epilogue)
+
+The matmul's MAC count equals the conv's exactly (k*C_in x k*C_out contains
+every weight once); the only overhead is the k-slice epilogue (bandwidth)
+and the A-stack build (k sublane-shifted copies). For k7/C32 this lifts K
+and N from 32 to 224 — MXU-shaped instead of lane-starved.
+
+Contract: stride 1, groups 1, input pre-padded (any mode) so the kernel
+computes VALID; fp32 or bf16 in, f32 accumulation. C_in==1 layers stay on
+XLA (K=k is lane-starved either way, and they are <1% of model FLOPs).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_kernel(x_ref, w_ref, out_ref, acc_ref, *, k, rows, w_out, c_in,
+                 c_out, out_dtype):
+    """x_ref: (1, 1, rows + k - 1, Wp, c_in); w_ref: (k*c_in, k*c_out);
+    out_ref: (1, 1, rows, w_out, c_out)."""
+    wp = x_ref.shape[3]
+
+    # build A: (rows * wp, k * c_in) — k row-shifted copies of the strip
+    for kh in range(k):
+        blk = x_ref[0, 0, pl.ds(kh, rows), :, :]    # (rows, wp, c_in)
+        acc_ref[:, kh * c_in:(kh + 1) * c_in] = blk.reshape(rows * wp, c_in)
+
+    p = jnp.dot(acc_ref[:, :], w_ref[:, :],
+                preferred_element_type=jnp.float32)  # (rows*wp, k*c_out)
+    p = p.reshape(rows, wp, k * c_out)
+
+    out = None
+    for kw in range(k):
+        term = p[:, kw:kw + w_out, kw * c_out:(kw + 1) * c_out]
+        out = term if out is None else out + term
+    out_ref[0, 0] = out.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "rows"))
+def conv_shifted_gemm(x, w, k, rows=8, interpret=False):
+    """x: (B, H + k - 1, W + k - 1, C_in) pre-padded NHWC;
+    w: (k, k, C_in, C_out) HWIO. Returns (B, H, W, C_out)."""
+    b, hp, wp_raw, c_in = x.shape
+    c_out = w.shape[-1]
+    h = hp - (k - 1)
+    w_out = wp_raw - (k - 1)
+
+    # pad W to lane multiple and H to strip multiple
+    wp_pad = -wp_raw % 128
+    grid_h = pl.cdiv(h, rows)
+    hp_pad = grid_h * rows + (k - 1) - hp
+    x = jnp.pad(x, ((0, 0), (0, hp_pad), (0, wp_pad), (0, 0)))
+    wp = x.shape[2]
+
+    # weights: (k, k, C_in, C_out) -> [(kh, c), (kw, n)]
+    wm = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_in, k * c_out)
+    wm = wm.astype(x.dtype)
+
+    # strided overlapping strips (halo k-1), as in the SSIM kernel
+    n_strips = grid_h
+    idx = (np.arange(n_strips)[:, None] * rows +
+           np.arange(rows + k - 1)[None, :])
+    strips = x[:, idx, :, :]          # (b, grid_h, rows+k-1, wp, c_in)
+
+    kern = functools.partial(_conv_kernel, k=k, rows=rows,
+                             w_out=wp - (k - 1), c_in=c_in, c_out=c_out,
+                             out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, grid_h, rows, wp - (k - 1), c_out), x.dtype),
+        grid=(b, grid_h),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows + k - 1, wp, c_in),
+                         lambda bi, i: (bi, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * c_in, k * c_out), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows, wp - (k - 1), c_out),
+                               lambda bi, i: (bi, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows * wp, k * c_in), x.dtype),
+        ],
+        interpret=interpret,
+    )(strips, wm)
+
+    out = out.reshape(b, grid_h * rows, wp - (k - 1), c_out)
+    return out[:, :h, :w_out, :]

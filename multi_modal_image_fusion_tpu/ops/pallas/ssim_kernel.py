@@ -108,7 +108,7 @@ def ssim_maps_pallas(img1, img2, win_size=11, data_range=1.0,
         oh, ow = h - ws + 1, w - ws + 1
 
     # pad W to the lane width and H to a strip multiple
-    rows = 256
+    rows = 128   # strip height; 256 blows the 16MB scoped-VMEM budget
     halo = ws - 1
     w_pad = -w_in % 128
     grid_h = pl.cdiv(max(oh, 1), rows)

@@ -57,7 +57,28 @@ def get_train_parser():
                         "resume at all)")
     _bool_flag(p, "profile", False,
                "capture a jax.profiler trace of the first training epoch")
+    p.add_argument("--model_cfg", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="model constructor overrides, repeatable — e.g. "
+                        "--model_cfg fusion_mode=l1, or for myfusion: "
+                        "--model_cfg encoder=transformer "
+                        "--model_cfg decoder=fs "
+                        "--model_cfg share_weight_levels=2")
     return p
+
+
+def parse_model_cfg(pairs):
+    """['k=v', ...] -> kwargs dict with literal-eval'd values."""
+    import ast
+
+    out = {}
+    for item in pairs:
+        key, _, value = item.partition("=")
+        try:
+            out[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            out[key] = value
+    return out
 
 
 def get_test_parser():

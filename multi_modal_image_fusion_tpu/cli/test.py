@@ -83,7 +83,8 @@ def main(argv=None):
 
     meta = load_checkpoint_meta(ckpt_path)
     model_name = args.model or meta.get("model", "deepfuse")
-    model = create_model(model_name)
+    model_cfg = meta.get("model_cfg", {}) if args.model is None else {}
+    model = create_model(model_name, **model_cfg)
     print(f"model: {model_name}")
 
     data_dir, is_sample = resolve_data_dir(args)

@@ -31,8 +31,8 @@ from ..utils.logger import make_logger
 from ..utils.meters import AverageMeter
 from ..utils.scalars import ScalarWriter
 from ..utils.seed import setup_seed
-from .common import (dataset_layout, get_train_parser, resolve_data_dir,
-                     save_result)
+from .common import (dataset_layout, get_train_parser, parse_model_cfg,
+                     resolve_data_dir, save_result)
 
 
 def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
@@ -93,6 +93,10 @@ def main(argv=None):
 
     time_str = datetime.strftime(datetime.now(), "%Y-%m-%d_%H-%M")
     ckpt_dir = os.path.join(ckpt_root, time_str)
+    n = 1
+    while os.path.isdir(ckpt_dir):     # same-minute runs get a suffix
+        ckpt_dir = os.path.join(ckpt_root, f"{time_str}_{n}")
+        n += 1
     os.makedirs(ckpt_dir, exist_ok=True)
     from ..utils.logger import Logger
 
@@ -136,12 +140,15 @@ def main(argv=None):
     sharding = batch_sharding(mesh)
     train_feeder = Feeder(train_set, args.bs, shuffle=True, drop_last=True,
                           sharding=sharding, seed=args.seed)
-    valid_feeder = Feeder(valid_set, args.bs, shuffle=False, drop_last=True,
-                          sharding=sharding)
+    # valid keeps the final partial batch (reference DataLoader default);
+    # train drops it so the jit'd step keeps one static shape
+    valid_feeder = Feeder(valid_set, args.bs, shuffle=False,
+                          drop_last=False, sharding=sharding)
     logger.info(f"train iters/epoch: {len(train_feeder)}, "
                 f"valid iters/epoch: {len(valid_feeder)}")
 
-    model = create_model(args.model)
+    model_cfg = parse_model_cfg(args.model_cfg)
+    model = create_model(args.model, **model_cfg)
     schedule = make_lr_schedule(args.lr, len(train_feeder), args.epoch,
                                 warmup=args.warmup)
     bundle = make_loss_bundle(args.ssim_mode, args.ssim_weight,
@@ -180,7 +187,8 @@ def main(argv=None):
     os.makedirs(train_dir, exist_ok=True)
     os.makedirs(valid_dir, exist_ok=True)
 
-    meta = {"model": args.model, "data": args.data}
+    meta = {"model": args.model, "data": args.data,
+            "model_cfg": model_cfg}
     best_epoch, best_loss = 0, 0.0
     try:
         for epoch in range(start_epoch, args.epoch):

@@ -71,8 +71,17 @@ class Feeder:
             self._rng.shuffle(idx)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last \
             else n
+        ndev = 1
+        if self.sharding is not None and hasattr(self.sharding, "mesh"):
+            ndev = int(self.sharding.mesh.size)
         for i in range(0, stop, self.batch_size):
-            items = [self.dataset[int(j)] for j in idx[i:i + self.batch_size]]
+            take = idx[i:i + self.batch_size]
+            if len(take) % ndev:
+                # wrap-pad the final partial batch to a device multiple
+                # (torch DistributedSampler semantics)
+                pad = ndev - len(take) % ndev
+                take = np.concatenate([take, take[:pad]])
+            items = [self.dataset[int(j)] for j in take]
             yield _to_batch(items)
 
     def __iter__(self):

@@ -14,12 +14,41 @@ matching the reference's activation-keyed scheme:
 - bias -> zeros (block.py:113-114)
 """
 
+import contextlib
+import contextvars
 import math
+import os
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Opt-in fast inference: routes eligible convs (stride 1, groups 1, odd k,
+# C_in >= 8) through the shifted-GEMM Pallas kernel (ops/pallas/
+# conv_kernel.py). Forward-only — the kernel has no VJP — so it is enabled
+# per-scope by the serving/bench paths, never during training.
+_FAST_INFERENCE = contextvars.ContextVar("mmif_fast_inference",
+                                         default=False)
+
+
+@contextlib.contextmanager
+def fast_inference(enable=True):
+    token = _FAST_INFERENCE.set(enable)
+    try:
+        yield
+    finally:
+        _FAST_INFERENCE.reset(token)
+
+
+def _pallas_conv_eligible(in_ch, ksize, stride, groups, dilation,
+                          transpose):
+    if not _FAST_INFERENCE.get() or os.environ.get("MMIF_NO_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return (not transpose and stride == 1 and groups == 1 and dilation == 1
+            and ksize in (3, 5, 7) and in_ch >= 8)
 
 # ---------------------------------------------------------------------------
 # activations
@@ -203,15 +232,23 @@ class ConvLayer(nn.Module):
         if not self.transpose:
             if pad:
                 x = pad2d(x, pad, self.pad_mode)
-            y = jax.lax.conv_general_dilated(
-                x,
-                kernel,
-                window_strides=(self.stride, self.stride),
-                padding="VALID",
-                rhs_dilation=(self.dilation, self.dilation),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.groups,
-            )
+            if (_pallas_conv_eligible(in_ch, self.ksize, self.stride,
+                                      self.groups, self.dilation,
+                                      self.transpose)
+                    and pad == self.ksize // 2):
+                from .pallas.conv_kernel import conv_shifted_gemm
+
+                y = conv_shifted_gemm(x, kernel.astype(x.dtype), self.ksize)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x,
+                    kernel,
+                    window_strides=(self.stride, self.stride),
+                    padding="VALID",
+                    rhs_dilation=(self.dilation, self.dilation),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.groups,
+                )
         else:
             # torch ConvTranspose2d(k, s, p, output_padding=1): out = in * s
             # == lhs-dilated conv with spatially flipped kernel and

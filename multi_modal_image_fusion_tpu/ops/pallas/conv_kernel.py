@@ -30,36 +30,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_ref, w_ref, out_ref, acc_ref, *, k, rows, w_out, c_in,
+def _conv_kernel(x_ref, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
                  c_out, out_dtype):
     """x_ref: (1, 1, rows + k - 1, Wp, c_in); w_ref: (k*c_in, k*c_out);
-    out_ref: (1, 1, rows, w_out, c_out)."""
-    wp = x_ref.shape[3]
-
-    # build A: (rows * wp, k * c_in) — k row-shifted copies of the strip
+    out_ref: (1, 1, rows, w_out, c_out); a_ref: (rows, Wp, k*c_in)."""
+    # build A in 3-D (no flattening copies): k row-shifted strip views
     for kh in range(k):
-        blk = x_ref[0, 0, pl.ds(kh, rows), :, :]    # (rows, wp, c_in)
-        acc_ref[:, kh * c_in:(kh + 1) * c_in] = blk.reshape(rows * wp, c_in)
+        a_ref[:, :, kh * c_in:(kh + 1) * c_in] = \
+            x_ref[0, 0, pl.ds(kh, rows), :, :]
 
-    p = jnp.dot(acc_ref[:, :], w_ref[:, :],
-                preferred_element_type=jnp.float32)  # (rows*wp, k*c_out)
-    p = p.reshape(rows, wp, k * c_out)
+    # batched matmul over the row dim: (rows, Wp, k*c_in) @ (k*c_in, k*c_out)
+    p = jax.lax.dot_general(a_ref[:, :, :], w_ref[:, :],
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
-    out = None
-    for kw in range(k):
-        term = p[:, kw:kw + w_out, kw * c_out:(kw + 1) * c_out]
-        out = term if out is None else out + term
+    out = p[:, 0:w_out, 0:c_out]
+    for kw in range(1, k):
+        out = out + p[:, kw:kw + w_out, kw * c_out:(kw + 1) * c_out]
     out_ref[0, 0] = out.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "rows"))
-def conv_shifted_gemm(x, w, k, rows=8, interpret=False):
+def conv_shifted_gemm(x, w, k, rows=None, interpret=False):
     """x: (B, H + k - 1, W + k - 1, C_in) pre-padded NHWC;
     w: (k, k, C_in, C_out) HWIO. Returns (B, H, W, C_out)."""
     b, hp, wp_raw, c_in = x.shape
     c_out = w.shape[-1]
     h = hp - (k - 1)
     w_out = wp_raw - (k - 1)
+
+    if rows is None:
+        # strip height sized to the 16MB scoped-VMEM budget (Mosaic counts
+        # conservatively: A stack + f32 matmul result + epilogue accum +
+        # double-buffered in/out blocks)
+        wp_est = wp_raw + (-wp_raw % 128)
+        per_row = wp_est * (k * c_in * x.dtype.itemsize      # A
+                            + k * c_out * 4                  # P (f32)
+                            + c_out * 4                      # epilogue accum
+                            + 2 * c_in * x.dtype.itemsize    # in blocks
+                            + 2 * c_out * x.dtype.itemsize)  # out blocks
+        rows = max(1, min(32, int(6e6 // max(per_row, 1))))
+        if rows > 1:
+            rows = 1 << (rows.bit_length() - 1)   # round down to pow2
 
     # pad W to lane multiple and H to strip multiple
     wp_pad = -wp_raw % 128
@@ -97,7 +109,7 @@ def conv_shifted_gemm(x, w, k, rows=8, interpret=False):
                                lambda bi, i: (bi, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows * wp, k * c_in), x.dtype),
+            pltpu.VMEM((rows, wp, k * c_in), x.dtype),
         ],
         interpret=interpret,
     )(strips, wm)

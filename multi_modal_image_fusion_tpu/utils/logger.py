@@ -17,7 +17,9 @@ class Logger:
         self.log_path = log_path
 
     def init_logger(self):
-        logger = logging.getLogger(self.log_name)
+        # keyed by full path: several runs in one process (tests, sweeps)
+        # must not share file handlers
+        logger = logging.getLogger(os.path.abspath(self.log_path))
         logger.setLevel(logging.INFO)
         if logger.handlers:          # idempotent across repeated init
             return logger

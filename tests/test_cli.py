@@ -1,0 +1,96 @@
+"""End-to-end CLI test: train -> test -> eval on a synthetic tiny dataset,
+verifying the full reference workflow (checkpoint tree, train.log, fused
+BMP dumps, xlsx metrics workbook) on CPU."""
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from multi_modal_image_fusion_tpu.data.io import imwrite
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("datasets")
+    data_dir = root / "tinyset"
+    rng = np.random.RandomState(0)
+    for split in ("train", "test"):
+        for mod in ("vis", "ir"):
+            os.makedirs(data_dir / split / mod)
+    for split, n in (("train", 5), ("test", 2)):
+        for i in range(n):
+            base = (rng.rand(128, 128) * 255).astype(np.uint8)
+            noise = (rng.rand(128, 128) * 60).astype(np.uint8)
+            imwrite(str(data_dir / split / "vis" / f"{i + 1}.png"), base)
+            imwrite(str(data_dir / split / "ir" / f"{i + 1}.png"),
+                    255 - base // 2 + noise // 3)
+    return str(root)
+
+
+def test_train_test_eval_roundtrip(tiny_dataset, tmp_path):
+    from multi_modal_image_fusion_tpu.cli import eval as eval_cli
+    from multi_modal_image_fusion_tpu.cli import test as test_cli
+    from multi_modal_image_fusion_tpu.cli import train as train_cli
+
+    ckpt_root = str(tmp_path / "checkpoints")
+
+    ckpt_dir = train_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--model", "densefuse",
+        "--bs", "8", "--epoch", "2",
+    ])
+    assert os.path.isfile(os.path.join(ckpt_dir, "epoch_last.ckpt"))
+    assert os.path.isfile(os.path.join(ckpt_dir, "epoch_best.ckpt"))
+    assert os.path.isfile(os.path.join(ckpt_dir, "train.log"))
+    assert os.path.isfile(os.path.join(ckpt_dir, "scalars.jsonl"))
+    meta = json.load(open(os.path.join(ckpt_dir, "epoch_best.ckpt.json")))
+    assert meta["model"] == "densefuse"
+    # per-epoch result images
+    assert os.path.isfile(os.path.join(ckpt_dir, "train", "02.png"))
+
+    ckpt_name = os.path.basename(ckpt_dir)
+    ssim, avg_time = test_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--ckpt", ckpt_name,
+    ])
+    assert np.isfinite(ssim)
+    dump_dir = os.path.join(ckpt_dir, "tinyset")
+    assert os.path.isfile(os.path.join(dump_dir, "01.bmp"))
+    assert os.path.isfile(os.path.join(dump_dir, "02.bmp"))
+    # test appends to train.log like the reference (test.py:180-187)
+    log = open(os.path.join(ckpt_dir, "train.log")).read()
+    assert "fps" in log
+
+    xlsx = eval_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--ckpt", ckpt_name,
+        "--model", "densefuse",
+    ])
+    assert os.path.isfile(xlsx)
+    with zipfile.ZipFile(xlsx) as z:       # valid xlsx with our sheet
+        names = z.namelist()
+        assert "xl/workbook.xml" in names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        assert "Qabf" in sheet and "SSIM" in sheet
+
+
+def test_train_resume(tiny_dataset, tmp_path):
+    from multi_modal_image_fusion_tpu.cli import train as train_cli
+
+    ckpt_root = str(tmp_path / "checkpoints")
+    first = train_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--model", "deepfuse",
+        "--bs", "8", "--epoch", "1",
+    ])
+    second = train_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--model", "deepfuse",
+        "--bs", "8", "--epoch", "2",
+        "--resume", os.path.basename(first),
+    ])
+    log = open(os.path.join(second, "train.log")).read()
+    assert "resumed from" in log

@@ -6,15 +6,19 @@ mostly idle there (output channels map to the 128-wide lane dim: N=32 ->
 this chip). This kernel reshapes the conv into ONE dense matmul whose K and
 N dims are both multiplied by the kernel width:
 
-    A[(r, w), (kh, c)]       row-shifted stack of the input strip
+    A[r, w, (kh, c)]         row-shifted stack of the input strip
     Wm[(kh, c), (kw, n)]     = W[kh, kw, c, n]  (dense, no zero padding)
-    P = A @ Wm               M x (k*C_in) x (k*C_out) on the MXU
-    out[r, w, n] = sum_kw P[(r, w + kw), (kw, n)]   (static-slice epilogue)
+    P = A @ Wm               (rows, W, k*C_in) x (k*C_in, k*C_out) on MXU
+    out[r, w, n] = sum_kw P[r, w + kw, (kw, n)]   (static-slice epilogue)
 
 The matmul's MAC count equals the conv's exactly (k*C_in x k*C_out contains
-every weight once); the only overhead is the k-slice epilogue (bandwidth)
-and the A-stack build (k sublane-shifted copies). For k7/C32 this lifts K
-and N from 32 to 224 — MXU-shaped instead of lane-starved.
+every weight once); the only overhead is the k-slice epilogue and the
+A-stack build (k sublane-shifted VMEM copies). For k7/C32 this lifts K and
+N from 32 to 224 — MXU-shaped instead of lane-starved.
+
+The input stays in HBM (pltpu.ANY) and each grid step DMAs its halo strip
+into VMEM — overlapping strips never materialize in HBM (a blocked-input
+version would duplicate the image by (rows+k-1)/rows).
 
 Contract: stride 1, groups 1, input pre-padded (any mode) so the kernel
 computes VALID; fp32 or bf16 in, f32 accumulation. C_in==1 layers stay on
@@ -30,24 +34,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_ref, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
+def _conv_kernel(x_hbm, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
                  c_out, out_dtype):
-    """x_ref: (1, 1, rows + k - 1, Wp, c_in); w_ref: (k*c_in, k*c_out);
-    out_ref: (1, 1, rows, w_out, c_out); a_ref: (rows, Wp, k*c_in)."""
-    # build A in 3-D (no flattening copies): k row-shifted strip views
-    for kh in range(k):
-        a_ref[:, :, kh * c_in:(kh + 1) * c_in] = \
-            x_ref[0, 0, pl.ds(kh, rows), :, :]
+    """x_hbm: full (B, Hp, Wp, c_in) in HBM; w_ref: (k*c_in, k*c_out) VMEM;
+    out_ref: (1, rows, w_out_padded, c_out) VMEM block;
+    a_ref: (rows, Wp, k*c_in) VMEM scratch."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    wp = a_ref.shape[1]
 
-    # batched matmul over the row dim: (rows, Wp, k*c_in) @ (k*c_in, k*c_out)
-    p = jax.lax.dot_general(a_ref[:, :, :], w_ref[:, :],
-                            (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    def body(strip, sem):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * rows, rows + k - 1)], strip, sem)
+        cp.start()
+        cp.wait()
 
-    out = p[:, 0:w_out, 0:c_out]
-    for kw in range(1, k):
-        out = out + p[:, kw:kw + w_out, kw * c_out:(kw + 1) * c_out]
-    out_ref[0, 0] = out.astype(out_dtype)
+        for kh in range(k):
+            a_ref[:, :, kh * c_in:(kh + 1) * c_in] = \
+                strip[pl.ds(kh, rows), :, :]
+
+        p = jax.lax.dot_general(a_ref[:, :, :], w_ref[:, :],
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+        out = p[:, 0:w_out, 0:c_out]
+        for kw in range(1, k):
+            out = out + p[:, kw:kw + w_out, kw * c_out:(kw + 1) * c_out]
+        out_ref[0] = out.astype(out_dtype)
+
+    pl.run_scoped(
+        body,
+        strip=pltpu.VMEM((rows + k - 1, wp, c_in), x_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "rows"))
@@ -57,19 +76,18 @@ def conv_shifted_gemm(x, w, k, rows=None, interpret=False):
     b, hp, wp_raw, c_in = x.shape
     c_out = w.shape[-1]
     h = hp - (k - 1)
-    w_out = wp_raw - (k - 1)
+    w_out_final = wp_raw - (k - 1)
 
     if rows is None:
-        # strip height sized to the 16MB scoped-VMEM budget (Mosaic counts
-        # conservatively: A stack + f32 matmul result + epilogue accum +
-        # double-buffered in/out blocks)
+        # strip height sized to the 16MB scoped-VMEM budget (A stack +
+        # f32 matmul result + epilogue accum + strip + out blocks)
         wp_est = wp_raw + (-wp_raw % 128)
         per_row = wp_est * (k * c_in * x.dtype.itemsize      # A
                             + k * c_out * 4                  # P (f32)
                             + c_out * 4                      # epilogue accum
-                            + 2 * c_in * x.dtype.itemsize    # in blocks
+                            + c_in * x.dtype.itemsize        # strip
                             + 2 * c_out * x.dtype.itemsize)  # out blocks
-        rows = max(1, min(32, int(6e6 // max(per_row, 1))))
+        rows = max(1, min(64, int(6e6 // max(per_row, 1))))
         if rows > 1:
             rows = 1 << (rows.bit_length() - 1)   # round down to pow2
 
@@ -79,40 +97,31 @@ def conv_shifted_gemm(x, w, k, rows=None, interpret=False):
     hp_pad = grid_h * rows + (k - 1) - hp
     x = jnp.pad(x, ((0, 0), (0, hp_pad), (0, wp_pad), (0, 0)))
     wp = x.shape[2]
+    w_out = wp - (k - 1)
 
     # weights: (k, k, C_in, C_out) -> [(kh, c), (kw, n)]
     wm = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_in, k * c_out)
     wm = wm.astype(x.dtype)
 
-    # strided overlapping strips (halo k-1), as in the SSIM kernel
-    n_strips = grid_h
-    idx = (np.arange(n_strips)[:, None] * rows +
-           np.arange(rows + k - 1)[None, :])
-    strips = x[:, idx, :, :]          # (b, grid_h, rows+k-1, wp, c_in)
-
-    kern = functools.partial(_conv_kernel, k=k, rows=rows,
-                             w_out=wp - (k - 1), c_in=c_in, c_out=c_out,
-                             out_dtype=x.dtype)
+    kern = functools.partial(_conv_kernel, k=k, rows=rows, w_out=w_out,
+                             c_in=c_in, c_out=c_out, out_dtype=x.dtype)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (b, grid_h, rows, wp - (k - 1), c_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, grid_h * rows, w_out, c_out),
+                                       x.dtype),
         grid=(b, grid_h),
         in_specs=[
-            pl.BlockSpec((1, 1, rows + k - 1, wp, c_in),
-                         lambda bi, i: (bi, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # full input, HBM
             pl.BlockSpec((k * c_in, k * c_out), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, rows, wp - (k - 1), c_out),
-                               lambda bi, i: (bi, i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, w_out, c_out),
+                               lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, wp, k * c_in), x.dtype),
         ],
         interpret=interpret,
-    )(strips, wm)
+    )(x, wm)
 
-    out = out.reshape(b, grid_h * rows, wp - (k - 1), c_out)
-    return out[:, :h, :w_out, :]
+    return out[:, :h, :w_out_final, :]

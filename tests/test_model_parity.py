@@ -1,0 +1,65 @@
+"""Full-model forward parity: DeepFuse and DenseFuse outputs match the
+PyTorch reference bit-for-bit (to f32 conv tolerance) with transplanted
+weights, in both fusion and autoencoder modes."""
+
+import jax
+import numpy as np
+import pytest
+
+from multi_modal_image_fusion_tpu.models import create_model
+
+from conftest import nchw_to_nhwc, nhwc_to_nchw
+
+
+def conv_w(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _deepfuse_params(d):
+    def layer(key):
+        return {"kernel": conv_w(d[f"sd__{key}.layers.0.weight"]),
+                "bias": d[f"sd__{key}.layers.0.bias"]}
+
+    return {
+        "enc0": layer("encode.0"), "enc1": layer("encode.1"),
+        "dec0": layer("decode.0"), "dec1": layer("decode.1"),
+        "dec2": layer("decode.2"),
+    }
+
+
+def _densefuse_params(d):
+    def layer(key):
+        return {"kernel": conv_w(d[f"sd__{key}.layers.0.weight"]),
+                "bias": d[f"sd__{key}.layers.0.bias"]}
+
+    return {
+        "conv_in": layer("encode.0"),
+        "dense": {
+            "conv0": layer("encode.1.layers.0"),
+            "conv1": layer("encode.1.layers.1"),
+            "conv2": layer("encode.1.layers.2"),
+        },
+        "dec0": layer("decode.0"), "dec1": layer("decode.1"),
+        "dec2": layer("decode.2"), "dec3": layer("decode.3"),
+    }
+
+
+@pytest.mark.parametrize("name,builder", [
+    ("deepfuse", _deepfuse_params),
+    ("densefuse", _densefuse_params),
+])
+def test_model_forward_parity(golden, name, builder):
+    d = golden(f"model_{name}")
+    model = create_model(name)
+    variables = {"params": builder(d)}
+    x1 = nchw_to_nhwc(d["x1"])
+    x2 = nchw_to_nhwc(d["x2"])
+
+    with jax.default_matmul_precision("float32"):
+        y = model.apply(variables, x1, x2, train=False)
+        y_ae = model.apply(variables, x1, train=False)
+
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y)), d["y"],
+                               atol=5e-5)
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y_ae)), d["y_ae"],
+                               atol=5e-5)

@@ -206,3 +206,30 @@ if __name__ == "__main__":
     gen_metrics()
     gen_fusion()
     gen_layers()
+
+
+# ---------------------------------------------------------------------------
+# full-model forward parity (DeepFuse, DenseFuse with exported weights)
+# ---------------------------------------------------------------------------
+
+def gen_models():
+    from core.model import DeepFuse, DenseFuse
+
+    g = torch.Generator().manual_seed(0)
+    x1 = torch.rand(2, 1, 96, 80, generator=g)
+    x2 = torch.rand(2, 1, 96, 80, generator=g)
+
+    for name, cls in [("deepfuse", DeepFuse), ("densefuse", DenseFuse)]:
+        torch.manual_seed(3)
+        model = cls().eval()
+        with torch.no_grad():
+            y = model(x1, x2)
+            y_ae = model(x1)
+        out = {"x1": t2n(x1), "x2": t2n(x2), "y": t2n(y), "y_ae": t2n(y_ae)}
+        for k, v in model.state_dict().items():
+            out[f"sd__{k}"] = t2n(v)
+        save(f"model_{name}", **out)
+
+
+if __name__ == "__main__" and os.environ.get("GOLDEN_MODELS"):
+    gen_models()

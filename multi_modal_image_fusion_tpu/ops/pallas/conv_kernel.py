@@ -16,13 +16,14 @@ every weight once); the only overhead is the k-slice epilogue and the
 A-stack build (k sublane-shifted VMEM copies). For k7/C32 this lifts K and
 N from 32 to 224 — MXU-shaped instead of lane-starved.
 
-The input stays in HBM (pltpu.ANY) and each grid step DMAs its halo strip
-into VMEM — overlapping strips never materialize in HBM (a blocked-input
-version would duplicate the image by (rows+k-1)/rows).
+Overlapping halo strips are materialized host-side ((rows+k-1)/rows input
+duplication; a manual-DMA variant avoids it but HBM slice DMA requires
+128-aligned lane dims, which C_in=32 isn't). bf16 inputs keep bf16 partial
+products (f32 MXU accumulation inside the matmul, f32 epilogue sum).
 
 Contract: stride 1, groups 1, input pre-padded (any mode) so the kernel
-computes VALID; fp32 or bf16 in, f32 accumulation. C_in==1 layers stay on
-XLA (K=k is lane-starved either way, and they are <1% of model FLOPs).
+computes VALID. C_in==1 layers stay on XLA (K=k is lane-starved either way,
+and they are <1% of model FLOPs).
 """
 
 import functools
@@ -34,39 +35,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_hbm, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
-                 c_out, out_dtype):
-    """x_hbm: full (B, Hp, Wp, c_in) in HBM; w_ref: (k*c_in, k*c_out) VMEM;
-    out_ref: (1, rows, w_out_padded, c_out) VMEM block;
-    a_ref: (rows, Wp, k*c_in) VMEM scratch."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    wp = a_ref.shape[1]
+def _conv_kernel(x_ref, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
+                 c_out, out_dtype, p_dtype):
+    """x_ref: (1, 1, rows + k - 1, Wp, c_in); w_ref: (k*c_in, k*c_out);
+    out_ref: (1, 1, rows, w_out, c_out); a_ref: (rows, Wp, k*c_in)."""
+    for kh in range(k):
+        a_ref[:, :, kh * c_in:(kh + 1) * c_in] = \
+            x_ref[0, 0, pl.ds(kh, rows), :, :]
 
-    def body(strip, sem):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(i * rows, rows + k - 1)], strip, sem)
-        cp.start()
-        cp.wait()
+    p = jax.lax.dot_general(a_ref[:, :, :], w_ref[:, :],
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=p_dtype)
 
-        for kh in range(k):
-            a_ref[:, :, kh * c_in:(kh + 1) * c_in] = \
-                strip[pl.ds(kh, rows), :, :]
-
-        p = jax.lax.dot_general(a_ref[:, :, :], w_ref[:, :],
-                                (((2,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-
-        out = p[:, 0:w_out, 0:c_out]
-        for kw in range(1, k):
-            out = out + p[:, kw:kw + w_out, kw * c_out:(kw + 1) * c_out]
-        out_ref[0] = out.astype(out_dtype)
-
-    pl.run_scoped(
-        body,
-        strip=pltpu.VMEM((rows + k - 1, wp, c_in), x_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA(()),
-    )
+    out = p[:, 0:w_out, 0:c_out].astype(jnp.float32)
+    for kw in range(1, k):
+        out = out + p[:, kw:kw + w_out,
+                      kw * c_out:(kw + 1) * c_out].astype(jnp.float32)
+    out_ref[0, 0] = out.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "rows"))
@@ -77,21 +62,23 @@ def conv_shifted_gemm(x, w, k, rows=None, interpret=False):
     c_out = w.shape[-1]
     h = hp - (k - 1)
     w_out_final = wp_raw - (k - 1)
+    p_itemsize = x.dtype.itemsize if x.dtype == jnp.bfloat16 else 4
+    p_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
     if rows is None:
-        # strip height sized to the 16MB scoped-VMEM budget (A stack +
-        # f32 matmul result + epilogue accum + strip + out blocks)
+        # strip height sized to the 16MB scoped-VMEM budget (Mosaic counts
+        # conservatively: A stack + partial products + f32 epilogue accum +
+        # double-buffered in/out blocks)
         wp_est = wp_raw + (-wp_raw % 128)
         per_row = wp_est * (k * c_in * x.dtype.itemsize      # A
-                            + k * c_out * 4                  # P (f32)
+                            + k * c_out * p_itemsize         # P
                             + c_out * 4                      # epilogue accum
-                            + c_in * x.dtype.itemsize        # strip
+                            + 2 * c_in * x.dtype.itemsize    # in blocks
                             + 2 * c_out * x.dtype.itemsize)  # out blocks
-        rows = max(1, min(64, int(6e6 // max(per_row, 1))))
+        rows = max(1, min(64, int(9e6 // max(per_row, 1))))
         if rows > 1:
             rows = 1 << (rows.bit_length() - 1)   # round down to pow2
 
-    # pad W to lane multiple and H to strip multiple
     wp_pad = -wp_raw % 128
     grid_h = pl.cdiv(h, rows)
     hp_pad = grid_h * rows + (k - 1) - hp
@@ -103,25 +90,34 @@ def conv_shifted_gemm(x, w, k, rows=None, interpret=False):
     wm = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_in, k * c_out)
     wm = wm.astype(x.dtype)
 
+    # overlapping halo strips (materialized: (rows+k-1)/rows duplication)
+    idx = (np.arange(grid_h)[:, None] * rows +
+           np.arange(rows + k - 1)[None, :])
+    strips = x[:, idx, :, :]          # (b, grid_h, rows+k-1, wp, c_in)
+
     kern = functools.partial(_conv_kernel, k=k, rows=rows, w_out=w_out,
-                             c_in=c_in, c_out=c_out, out_dtype=x.dtype)
+                             c_in=c_in, c_out=c_out, out_dtype=x.dtype,
+                             p_dtype=p_dtype)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, grid_h * rows, w_out, c_out),
+        out_shape=jax.ShapeDtypeStruct((b, grid_h, rows, w_out, c_out),
                                        x.dtype),
         grid=(b, grid_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # full input, HBM
+            pl.BlockSpec((1, 1, rows + k - 1, wp, c_in),
+                         lambda bi, i: (bi, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((k * c_in, k * c_out), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, w_out, c_out),
-                               lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, rows, w_out, c_out),
+                               lambda bi, i: (bi, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows, wp, k * c_in), x.dtype),
         ],
         interpret=interpret,
-    )(x, wm)
+    )(strips, wm)
 
+    out = out.reshape(b, grid_h * rows, w_out, c_out)
     return out[:, :h, :w_out_final, :]

@@ -39,3 +39,40 @@ def test_fused_ssim_kernel_metric_sigma():
                            interpret=True)
     np.testing.assert_allclose(float(got[0].mean()), float(want[0].mean()),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("k,cin,cout", [(3, 32, 32), (5, 16, 32),
+                                        (7, 32, 16)])
+def test_shifted_gemm_conv_parity(k, cin, cout):
+    import jax
+
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import \
+        conv_shifted_gemm
+
+    r = np.random.RandomState(0)
+    h, w = 27, 150
+    x = jnp.asarray(r.rand(2, h + k - 1, w + k - 1, cin), jnp.float32)
+    wgt = jnp.asarray(r.rand(k, k, cin, cout) - 0.5, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv_shifted_gemm(x, wgt, k, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fast_inference_context_routes_convs():
+    """fast_inference() only flips behavior on TPU; on CPU it must be a
+    no-op and outputs stay identical."""
+    import jax
+
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops.layers import fast_inference
+
+    model = create_model("deepfuse")
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 1),
+                    jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    y1 = model.apply(v, x, x, train=False)
+    with fast_inference():
+        y2 = model.apply(v, x, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)

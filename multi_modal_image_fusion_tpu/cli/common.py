@@ -91,6 +91,15 @@ def get_test_parser():
     p.add_argument("--ckpt_root", default=None, type=str)
     p.add_argument("--model", default=None, type=str,
                    help="zoo model name (default: from checkpoint meta)")
+    p.add_argument("--pad_bucket", default=0, type=int,
+                   help="pad inputs to multiples of N and crop outputs: "
+                        "one XLA compile per bucket instead of per image "
+                        "shape (tiny border deviation within the model's "
+                        "receptive field of the pad seam; 0 = exact "
+                        "per-shape compiles)")
+    _bool_flag(p, "fast", False,
+               "route eligible convs through the shifted-GEMM Pallas "
+               "kernel (fast_inference mode)")
     return p
 
 

@@ -28,29 +28,47 @@ from .common import dataset_layout, get_test_parser, resolve_data_dir, \
 
 def make_infer_fn(model, variables):
     @jax.jit
-    def infer(img1, img2):
-        imgf = model.apply(variables, img1, img2, train=False)
+    def fuse(img1, img2):
+        return model.apply(variables, img1, img2, train=False)
+
+    @jax.jit
+    def ssim_of(img1, img2, imgf):
         s1 = calc_ssim(img1, imgf, data_range=1.0)
         s2 = calc_ssim(img2, imgf, data_range=1.0)
-        return imgf, (s1 + s2) * 0.5
+        return (s1 + s2) * 0.5
 
-    return infer
+    return fuse, ssim_of
 
 
-def test_model(model, variables, dataset, save_dir=None, log_file=None):
+def test_model(model, variables, dataset, save_dir=None, log_file=None,
+               pad_bucket=0, fast=False):
+    from ..ops.layers import fast_inference
+
     timer = AverageMeter()
     ssim_meter = AverageMeter()
-    infer = make_infer_fn(model, variables)
+    fuse, ssim_of = make_infer_fn(model, variables)
 
     for i in range(len(dataset)):
         img1, img2 = dataset[i]
         x1 = jnp.asarray(img1)[None, ..., None]
         x2 = jnp.asarray(img2)[None, ..., None]
+        h, w = x1.shape[1:3]
+        xp1, xp2 = x1, x2
+        if pad_bucket:
+            ph = -h % pad_bucket
+            pw = -w % pad_bucket
+            cfg = ((0, 0), (0, ph), (0, pw), (0, 0))
+            xp1 = jnp.pad(x1, cfg, mode="reflect")
+            xp2 = jnp.pad(x2, cfg, mode="reflect")
 
         start = time.time()
-        imgf, ssim = infer(x1, x2)
+        with fast_inference(fast):
+            imgf = fuse(xp1, xp2)
         jax.block_until_ready(imgf)
         elapsed = time.time() - start
+        if pad_bucket:
+            imgf = imgf[:, :h, :w]
+        ssim = ssim_of(x1, x2, imgf)
         if i > 0:                     # first iter = compile warmup
             timer.update(elapsed)
 
@@ -113,7 +131,8 @@ def main(argv=None):
     log_file = open(log_path, "a") if os.path.isfile(log_path) else None
     try:
         ssim, avg_time = test_model(model, variables, dataset, save_dir,
-                                    log_file)
+                                    log_file, pad_bucket=args.pad_bucket,
+                                    fast=args.fast)
         line = (f"ssim: {ssim:.4f}, time: {avg_time * 1000:.3f}ms, "
                 f"fps: {1.0 / avg_time:.3f}")
         print(line)

@@ -18,8 +18,8 @@ N from 32 to 224 — MXU-shaped instead of lane-starved.
 
 Overlapping halo strips are materialized host-side ((rows+k-1)/rows input
 duplication; a manual-DMA variant avoids it but HBM slice DMA requires
-128-aligned lane dims, which C_in=32 isn't). bf16 inputs keep bf16 partial
-products (f32 MXU accumulation inside the matmul, f32 epilogue sum).
+128-aligned lane dims, which C_in=32 isn't). Partial products accumulate
+in f32 (a Mosaic requirement) and the epilogue sums in f32.
 
 Contract: stride 1, groups 1, input pre-padded (any mode) so the kernel
 computes VALID. C_in==1 layers stay on XLA (K=k is lane-starved either way,
@@ -62,8 +62,9 @@ def conv_shifted_gemm(x, w, k, rows=None, interpret=False):
     c_out = w.shape[-1]
     h = hp - (k - 1)
     w_out_final = wp_raw - (k - 1)
-    p_itemsize = x.dtype.itemsize if x.dtype == jnp.bfloat16 else 4
-    p_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    # Mosaic requires 32-bit matmul accumulators; partial products stay f32
+    p_itemsize = 4
+    p_dtype = jnp.float32
 
     if rows is None:
         # strip height sized to the 16MB scoped-VMEM budget (Mosaic counts

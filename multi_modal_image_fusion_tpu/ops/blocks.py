@@ -565,8 +565,10 @@ class Upsample(nn.Module):
 
 
 def pad_to(feat, shape):
-    """Reflect-pad NHWC `feat` up to target H,W from `shape` (an NHWC shape
-    tuple or (h, w))."""
+    """Reflect-pad (or crop) NHWC `feat` to target H,W from `shape` (an
+    NHWC shape tuple or (h, w)). Negative "padding" crops, matching torch
+    ReflectionPad2d semantics that DBNet's x8-upsample path relies on at
+    odd sizes (reference block.py:954-962 with e.g. 6*8=48 -> 45)."""
     if len(shape) >= 3:
         th, tw = shape[-3], shape[-2]
     else:
@@ -578,7 +580,19 @@ def pad_to(feat, shape):
     pad_w = tw - fw
     ph1, pw1 = pad_h // 2, pad_w // 2
     ph2, pw2 = pad_h - ph1, pad_w - pw1
-    return pad2d(feat, (pw1, pw2, ph1, ph2), "reflect")
+
+    # crop first (negative pads), then reflect-pad the rest
+    def split(lo, hi, size):
+        crop_lo = max(-lo, 0)
+        crop_hi = max(-hi, 0)
+        return crop_lo, size - crop_lo - crop_hi, max(lo, 0), max(hi, 0)
+
+    ch_lo, ch_len, ph1p, ph2p = split(ph1, ph2, fh)
+    cw_lo, cw_len, pw1p, pw2p = split(pw1, pw2, fw)
+    feat = feat[:, ch_lo:ch_lo + ch_len, cw_lo:cw_lo + cw_len, :]
+    if ph1p or ph2p or pw1p or pw2p:
+        feat = pad2d(feat, (pw1p, pw2p, ph1p, ph2p), "reflect")
+    return feat
 
 
 class Decoder(nn.Module):

@@ -37,88 +37,86 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _conv_kernel(x_ref, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
                  c_out, out_dtype, p_dtype):
-    """x_ref: (1, 1, rows + k - 1, Wp, c_in); w_ref: (k*c_in, k*c_out);
-    out_ref: (1, 1, rows, w_out, c_out); a_ref: (rows, Wp, k*c_in)."""
+    """x_ref: (1,1,1, rows+k-1, wtile+k-1, c_in);
+    w_ref: (k*c_in, k*c_out); out_ref: (1,1,1, rows, wtile, c_out);
+    a_ref: (rows*(wtile+k-1), k*c_in) — flattened M (a 3-D batched dot
+    makes Mosaic materialize far larger stack temporaries)."""
+    wp = x_ref.shape[4]
     for kh in range(k):
-        a_ref[:, :, kh * c_in:(kh + 1) * c_in] = \
-            x_ref[0, 0, pl.ds(kh, rows), :, :]
+        a_ref[:, kh * c_in:(kh + 1) * c_in] = \
+            x_ref[0, 0, 0, pl.ds(kh, rows), :, :].reshape(rows * wp, c_in)
 
-    p = jax.lax.dot_general(a_ref[:, :, :], w_ref[:, :],
-                            (((2,), (0,)), ((), ())),
-                            preferred_element_type=p_dtype)
+    p = jnp.dot(a_ref[:, :], w_ref[:, :], preferred_element_type=p_dtype)
+    p = p.reshape(rows, wp, k * c_out)
 
-    out = p[:, 0:w_out, 0:c_out].astype(jnp.float32)
+    out = p[:, 0:w_out, 0:c_out]
     for kw in range(1, k):
-        out = out + p[:, kw:kw + w_out,
-                      kw * c_out:(kw + 1) * c_out].astype(jnp.float32)
-    out_ref[0, 0] = out.astype(out_dtype)
+        out = out + p[:, kw:kw + w_out, kw * c_out:(kw + 1) * c_out]
+    out_ref[0, 0, 0] = out.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "rows"))
-def conv_shifted_gemm(x, w, k, rows=None, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "rows", "wtile"))
+def conv_shifted_gemm(x, w, k, rows=16, wtile=512, interpret=False):
     """x: (B, H + k - 1, W + k - 1, C_in) pre-padded NHWC;
-    w: (k, k, C_in, C_out) HWIO. Returns (B, H, W, C_out)."""
+    w: (k, k, C_in, C_out) HWIO. Returns (B, H, W, C_out).
+
+    2-D tiling: strips of `rows` output rows x `wtile` output columns, each
+    with a (k-1) halo in both dims. Tall-and-narrow tiles keep the matmul M
+    large (few program launches) while the f32 partial-product buffer fits
+    the 16MB VMEM budget.
+    """
     b, hp, wp_raw, c_in = x.shape
     c_out = w.shape[-1]
     h = hp - (k - 1)
     w_out_final = wp_raw - (k - 1)
-    # Mosaic requires 32-bit matmul accumulators; partial products stay f32
-    p_itemsize = 4
-    p_dtype = jnp.float32
+    p_dtype = jnp.float32   # Mosaic requires 32-bit matmul accumulators
 
-    if rows is None:
-        # strip height sized to the 16MB scoped-VMEM budget (Mosaic counts
-        # conservatively: A stack + partial products + f32 epilogue accum +
-        # double-buffered in/out blocks)
-        wp_est = wp_raw + (-wp_raw % 128)
-        per_row = wp_est * (k * c_in * x.dtype.itemsize      # A
-                            + k * c_out * p_itemsize         # P
-                            + c_out * 4                      # epilogue accum
-                            + 2 * c_in * x.dtype.itemsize    # in blocks
-                            + 2 * c_out * x.dtype.itemsize)  # out blocks
-        rows = max(1, min(64, int(9e6 // max(per_row, 1))))
-        if rows > 1:
-            rows = 1 << (rows.bit_length() - 1)   # round down to pow2
-
-    wp_pad = -wp_raw % 128
     grid_h = pl.cdiv(h, rows)
+    grid_w = pl.cdiv(w_out_final, wtile)
     hp_pad = grid_h * rows + (k - 1) - hp
+    wp_pad = grid_w * wtile + (k - 1) - wp_raw
     x = jnp.pad(x, ((0, 0), (0, hp_pad), (0, wp_pad), (0, 0)))
-    wp = x.shape[2]
-    w_out = wp - (k - 1)
 
     # weights: (k, k, C_in, C_out) -> [(kh, c), (kw, n)]
     wm = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_in, k * c_out)
     wm = wm.astype(x.dtype)
 
-    # overlapping halo strips (materialized: (rows+k-1)/rows duplication)
-    idx = (np.arange(grid_h)[:, None] * rows +
-           np.arange(rows + k - 1)[None, :])
-    strips = x[:, idx, :, :]          # (b, grid_h, rows+k-1, wp, c_in)
+    # overlapping halo tiles, materialized host-side: duplication is
+    # (rows+k-1)/rows * (wtile+k-1)/wtile (~1.4x at 16x512 for k7)
+    idx_h = (np.arange(grid_h)[:, None] * rows +
+             np.arange(rows + k - 1)[None, :])
+    idx_w = (np.arange(grid_w)[:, None] * wtile +
+             np.arange(wtile + k - 1)[None, :])
+    tiles = x[:, idx_h, :, :][:, :, :, idx_w, :]
+    # (b, grid_h, rows+k-1, grid_w, wtile+k-1, c_in) -> move grid_w fwd
+    tiles = jnp.moveaxis(tiles, 3, 2)
 
-    kern = functools.partial(_conv_kernel, k=k, rows=rows, w_out=w_out,
+    kern = functools.partial(_conv_kernel, k=k, rows=rows, w_out=wtile,
                              c_in=c_in, c_out=c_out, out_dtype=x.dtype,
                              p_dtype=p_dtype)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, grid_h, rows, w_out, c_out),
-                                       x.dtype),
-        grid=(b, grid_h),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, grid_h, grid_w, rows, wtile, c_out), x.dtype),
+        grid=(b, grid_h, grid_w),
         in_specs=[
-            pl.BlockSpec((1, 1, rows + k - 1, wp, c_in),
-                         lambda bi, i: (bi, i, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, rows + k - 1, wtile + k - 1, c_in),
+                         lambda bi, i, j: (bi, i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * c_in, k * c_out), lambda bi, i: (0, 0),
+            pl.BlockSpec((k * c_in, k * c_out), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, rows, w_out, c_out),
-                               lambda bi, i: (bi, i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, rows, wtile, c_out),
+                               lambda bi, i, j: (bi, i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, wp, k * c_in), x.dtype),
+            pltpu.VMEM((rows * (wtile + k - 1), k * c_in), x.dtype),
         ],
         interpret=interpret,
-    )(strips, wm)
+    )(tiles, wm)
 
-    out = out.reshape(b, grid_h * rows, w_out, c_out)
+    # (b, grid_h, grid_w, rows, wtile, c_out) -> (b, H, W, c_out)
+    out = jnp.moveaxis(out, 2, 3).reshape(b, grid_h * rows, grid_w * wtile,
+                                          c_out)
     return out[:, :h, :w_out_final, :]

@@ -73,17 +73,24 @@ def test_autoencoder_mode(name):
     assert y.shape == (1, 32, 32, 1)
 
 
-@pytest.mark.parametrize("name", ["nestfuse", "unfusion", "mafusion",
-                                  "sedrfuse", "dbnet", "myfusion"])
-def test_odd_input_sizes(name):
-    """The shape-repair paths (reflect pad after up/down sampling) must
-    handle non-multiple-of-8 inputs (reference block.py:941-991)."""
+@pytest.mark.parametrize("name,size", [
+    ("nestfuse", (45, 57)), ("unfusion", (45, 57)), ("mafusion", (45, 57)),
+    ("dbnet", (45, 57)), ("myfusion", (45, 57)),
+    # SEDRFuse's transpose-conv decoder requires multiples of 4 (as in the
+    # reference: deconv output 2x the stride-2-floored size must match the
+    # skip feature), so it gets the non-multiple-of-8 case instead
+    ("sedrfuse", (44, 52)),
+])
+def test_odd_input_sizes(name, size):
+    """The shape-repair paths (reflect pad/crop after up/down sampling)
+    must handle non-multiple-of-8 inputs (reference block.py:941-991)."""
     model = create_model(name)
-    x1 = jax.random.uniform(jax.random.PRNGKey(3), (1, 45, 57, 1))
-    x2 = jax.random.uniform(jax.random.PRNGKey(4), (1, 45, 57, 1))
+    h, w = size
+    x1 = jax.random.uniform(jax.random.PRNGKey(3), (1, h, w, 1))
+    x2 = jax.random.uniform(jax.random.PRNGKey(4), (1, h, w, 1))
     variables = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
     y = model.apply(variables, x1, x2, train=False)
-    assert y.shape == (1, 45, 57, 1)
+    assert y.shape == (1, h, w, 1)
 
 
 def test_siamese_weight_sharing():

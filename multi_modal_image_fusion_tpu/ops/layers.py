@@ -45,6 +45,11 @@ def _pallas_conv_eligible(in_ch, ksize, stride, groups, dilation,
                           transpose):
     if not _FAST_INFERENCE.get() or os.environ.get("MMIF_NO_PALLAS"):
         return False
+    # experimental: the shifted-GEMM kernel is numerically verified
+    # (interpret mode + small TPU shapes) but Mosaic's VMEM stack
+    # accounting still rejects full-resolution tiles; opt in explicitly.
+    if not os.environ.get("MMIF_PALLAS_CONV"):
+        return False
     if jax.default_backend() != "tpu":
         return False
     return (not transpose and stride == 1 and groups == 1 and dilation == 1

@@ -36,28 +36,41 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(x_ref, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
-                 c_out, out_dtype, p_dtype):
+                 c_out, out_dtype, p_dtype, kw_chunk):
     """x_ref: (1,1,1, rows+k-1, wtile+k-1, c_in);
     w_ref: (k*c_in, k*c_out); out_ref: (1,1,1, rows, wtile, c_out);
     a_ref: (rows*(wtile+k-1), k*c_in) — flattened M (a 3-D batched dot
-    makes Mosaic materialize far larger stack temporaries)."""
+    makes Mosaic materialize far larger stack temporaries).
+
+    kw_chunk: how many kw positions each matmul covers. kw_chunk == k is a
+    single full matmul (biggest N, biggest partial-product buffer);
+    smaller chunks trade MXU lane utilization (N = kw_chunk*c_out) for a
+    k/kw_chunk-times smaller live set, buying larger tiles under the VMEM
+    ceiling."""
     wp = x_ref.shape[4]
     for kh in range(k):
         a_ref[:, kh * c_in:(kh + 1) * c_in] = \
             x_ref[0, 0, 0, pl.ds(kh, rows), :, :].reshape(rows * wp, c_in)
 
-    p = jnp.dot(a_ref[:, :], w_ref[:, :], preferred_element_type=p_dtype)
-    p = p.reshape(rows, wp, k * c_out)
-
-    out = p[:, 0:w_out, 0:c_out]
-    for kw in range(1, k):
-        out = out + p[:, kw:kw + w_out, kw * c_out:(kw + 1) * c_out]
+    out = None
+    for kw0 in range(0, k, kw_chunk):
+        g = min(kw_chunk, k - kw0)
+        p = jnp.dot(a_ref[:, :],
+                    w_ref[:, kw0 * c_out:(kw0 + g) * c_out],
+                    preferred_element_type=p_dtype)
+        p = p.reshape(rows, wp, g * c_out)
+        for j in range(g):
+            kw = kw0 + j
+            term = p[:, kw:kw + w_out, j * c_out:(j + 1) * c_out]
+            out = term if out is None else out + term
     out_ref[0, 0, 0] = out.astype(out_dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "interpret", "rows", "wtile"))
-def conv_shifted_gemm(x, w, k, rows=16, wtile=512, interpret=False):
+                   static_argnames=("k", "interpret", "rows", "wtile",
+                                    "kw_chunk"))
+def conv_shifted_gemm(x, w, k, rows=16, wtile=512, kw_chunk=None,
+                      interpret=False):
     """x: (B, H + k - 1, W + k - 1, C_in) pre-padded NHWC;
     w: (k, k, C_in, C_out) HWIO. Returns (B, H, W, C_out).
 
@@ -92,9 +105,11 @@ def conv_shifted_gemm(x, w, k, rows=16, wtile=512, interpret=False):
     # (b, grid_h, rows+k-1, grid_w, wtile+k-1, c_in) -> move grid_w fwd
     tiles = jnp.moveaxis(tiles, 3, 2)
 
+    if kw_chunk is None:
+        kw_chunk = k
     kern = functools.partial(_conv_kernel, k=k, rows=rows, w_out=wtile,
                              c_in=c_in, c_out=c_out, out_dtype=x.dtype,
-                             p_dtype=p_dtype)
+                             p_dtype=p_dtype, kw_chunk=kw_chunk)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(

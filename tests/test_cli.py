@@ -94,3 +94,30 @@ def test_train_resume(tiny_dataset, tmp_path):
     ])
     log = open(os.path.join(second, "train.log")).read()
     assert "resumed from" in log
+
+
+def test_eval_metric_sheet_layout(tiny_dataset, tmp_path):
+    """The alternative one-sheet-per-metric workbook layout (reference
+    eval.py:303-361)."""
+    import numpy as np
+
+    from multi_modal_image_fusion_tpu.cli.eval import write_workbook
+    from multi_modal_image_fusion_tpu.utils.xlsx import Workbook
+
+    rows = [{k: float(i) for i in [1] for k in [
+        "sd", "ag", "sf", "mse", "psnr", "cc", "scd", "en", "ce", "mi",
+        "qabf", "nabf", "labf", "ssim", "msssim", "viff"]}] * 3
+    path = str(tmp_path / "m.xlsx")
+    book = Workbook()
+    book = write_workbook(path, "DenseFuse", ["a.png", "b.png", "c.png"],
+                          rows, sheet_layout="metric", book=book,
+                          method_idx=0)
+    write_workbook(path, "DeepFuse", ["a.png", "b.png", "c.png"], rows,
+                   sheet_layout="metric", book=book, method_idx=1)
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        wb = z.read("xl/workbook.xml").decode()
+        assert 'name="SSIM"' in wb and 'name="Qabf"' in wb
+        s1 = z.read("xl/worksheets/sheet1.xml").decode()
+        assert "DenseFuse" in s1 and "DeepFuse" in s1

@@ -99,27 +99,74 @@ def spatial_pooling(t, mode="l1"):
 
     elif mode == "nl":
         # q: [B,HW,C] x k: [B,HW/64,C] -> energy [B,HW,HW/64]; min-max
-        # normalized, softmaxed, applied to pooled v. At full resolution this
-        # is the hottest fusion op; the MXU-friendly einsum form below maps
-        # both matmuls onto the systolic array.
+        # normalized, softmaxed, applied to pooled v. At full resolution the
+        # dense energy matrix is enormous (1224x1024 -> ~98GB, which the
+        # torch reference cannot materialize either, fusion.py:97-113); we
+        # stream query blocks in two scanned passes (global min/max, then
+        # softmax @ v), so full-res inference works in a few hundred MB.
         b, h, w, c = t.shape
         pooled = _avg_pool8(t)
         q = t.reshape(b, h * w, c)
         k = pooled.reshape(b, -1, c)
-        energy = jnp.einsum("bnc,bmc->bnm", q, k,
-                            precision="float32",
-                            preferred_element_type=jnp.float32)
-        e_min = energy.min()
-        e_max = energy.max()
-        energy = (energy - e_min) / (e_max - e_min)
-        attn_w = jax.nn.softmax(energy, axis=-1)
-        attn = jnp.einsum("bnm,bmc->bnc", attn_w, k,
-                          precision="float32",
-                            preferred_element_type=jnp.float32)
+        if h * w <= (1 << 18):
+            energy = jnp.einsum("bnc,bmc->bnm", q, k,
+                                precision="float32",
+                                preferred_element_type=jnp.float32)
+            e_min = energy.min()
+            e_max = energy.max()
+            energy = (energy - e_min) / (e_max - e_min)
+            attn_w = jax.nn.softmax(energy, axis=-1)
+            attn = jnp.einsum("bnm,bmc->bnc", attn_w, k,
+                              precision="float32",
+                              preferred_element_type=jnp.float32)
+        else:
+            attn = _nl_spatial_blocked(q, k)
         return attn.reshape(b, h, w, c) + t
 
     raise ValueError(
         "only supported ['sum', 'mean', 'l1', 'l2', 'linf', 'nl'] mode")
+
+
+def _nl_spatial_blocked(q, k, block=4096):
+    """Streaming non-local spatial attention: identical math to the dense
+    path (global min-max normalize, row softmax, @ pooled values) computed
+    block-by-block over queries with lax.scan. Two passes because the
+    normalization needs the global energy min/max before any softmax."""
+    b, n, c = q.shape
+    pad = (-n) % block
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    blocks = qp.reshape(b, -1, block, c).transpose(1, 0, 2, 3)
+
+    def emin_emax(carry, q_blk):
+        lo, hi = carry
+        e = jnp.einsum("bnc,bmc->bnm", q_blk, k, precision="float32",
+                       preferred_element_type=jnp.float32)
+        return (jnp.minimum(lo, e.min()), jnp.maximum(hi, e.max())), None
+
+    # padded rows produce energies of all-zero queries; exclude them from
+    # the min/max by scanning only full blocks, then the remainder exactly
+    n_full = n // block
+    (lo, hi), _ = jax.lax.scan(emin_emax, (jnp.inf, -jnp.inf),
+                               blocks[:n_full])
+    if n % block:
+        e_tail = jnp.einsum("bnc,bmc->bnm", q[:, n_full * block:], k,
+                            precision="float32",
+                            preferred_element_type=jnp.float32)
+        lo = jnp.minimum(lo, e_tail.min())
+        hi = jnp.maximum(hi, e_tail.max())
+
+    def apply_blk(_, q_blk):
+        e = jnp.einsum("bnc,bmc->bnm", q_blk, k, precision="float32",
+                       preferred_element_type=jnp.float32)
+        e = (e - lo) / (hi - lo)
+        a = jax.nn.softmax(e, axis=-1)
+        o = jnp.einsum("bnm,bmc->bnc", a, k, precision="float32",
+                       preferred_element_type=jnp.float32)
+        return None, o
+
+    _, outs = jax.lax.scan(apply_blk, None, blocks)
+    out = outs.transpose(1, 0, 2, 3).reshape(b, -1, c)
+    return out[:, :n]
 
 
 def channel_pooling(t, mode="avg"):

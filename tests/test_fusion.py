@@ -68,3 +68,27 @@ def test_concat_fusion(golden):
     got = np.asarray(F.concat_fusion((t1, t2)))
     assert got.shape[-1] == t1.shape[-1] * 2
     np.testing.assert_allclose(got[..., :t1.shape[-1]], t1)
+
+
+def test_nl_spatial_blocked_matches_dense():
+    """The streaming full-res path must equal the dense path exactly."""
+    import jax.numpy as jnp
+
+    from multi_modal_image_fusion_tpu.ops.fusion import (_avg_pool8,
+                                                         _nl_spatial_blocked)
+
+    r = np.random.RandomState(0)
+    t = jnp.asarray(r.rand(1, 64, 96, 8), jnp.float32)
+    b, h, w, c = t.shape
+    pooled = _avg_pool8(t)
+    q = t.reshape(b, h * w, c)
+    k = pooled.reshape(b, -1, c)
+
+    e = np.einsum("bnc,bmc->bnm", np.asarray(q), np.asarray(k))
+    e = (e - e.min()) / (e.max() - e.min())
+    a = np.exp(e - e.max(-1, keepdims=True))
+    a /= a.sum(-1, keepdims=True)
+    want = np.einsum("bnm,bmc->bnc", a, np.asarray(k))
+
+    got = np.asarray(_nl_spatial_blocked(q, k, block=1000))  # ragged blocks
+    np.testing.assert_allclose(got, want, atol=1e-5)

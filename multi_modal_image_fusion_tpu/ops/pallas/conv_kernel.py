@@ -35,8 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_ref, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
-                 c_out, out_dtype, p_dtype, kw_chunk):
+def _conv_kernel(x_ref, w_ref, out_ref, a_ref, acc_ref, *, k, rows, w_out,
+                 c_in, c_out, out_dtype, p_dtype, kw_chunk):
     """x_ref: (1,1,1, rows+k-1, wtile+k-1, c_in);
     w_ref: (k*c_in, k*c_out); out_ref: (1,1,1, rows, wtile, c_out);
     a_ref: (rows*(wtile+k-1), k*c_in) — flattened M (a 3-D batched dot
@@ -52,7 +52,8 @@ def _conv_kernel(x_ref, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
         a_ref[:, kh * c_in:(kh + 1) * c_in] = \
             x_ref[0, 0, 0, pl.ds(kh, rows), :, :].reshape(rows * wp, c_in)
 
-    out = None
+    # accumulate in-place into a scratch ref: an SSA value chain makes
+    # Mosaic keep every partial term live on the kernel stack
     for kw0 in range(0, k, kw_chunk):
         g = min(kw_chunk, k - kw0)
         p = jnp.dot(a_ref[:, :],
@@ -62,8 +63,11 @@ def _conv_kernel(x_ref, w_ref, out_ref, a_ref, *, k, rows, w_out, c_in,
         for j in range(g):
             kw = kw0 + j
             term = p[:, kw:kw + w_out, j * c_out:(j + 1) * c_out]
-            out = term if out is None else out + term
-    out_ref[0, 0, 0] = out.astype(out_dtype)
+            if kw == 0:
+                acc_ref[:, :, :] = term
+            else:
+                acc_ref[:, :, :] += term
+    out_ref[0, 0, 0] = acc_ref[:, :, :].astype(out_dtype)
 
 
 @functools.partial(jax.jit,
@@ -127,6 +131,7 @@ def conv_shifted_gemm(x, w, k, rows=16, wtile=512, kw_chunk=None,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rows * (wtile + k - 1), k * c_in), x.dtype),
+            pltpu.VMEM((rows, wtile, c_out), jnp.float32),
         ],
         interpret=interpret,
     )(tiles, wm)

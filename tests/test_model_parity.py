@@ -63,3 +63,45 @@ def test_model_forward_parity(golden, name, builder):
                                atol=5e-5)
     np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y_ae)), d["y_ae"],
                                atol=5e-5)
+
+
+def test_sedrfuse_forward_parity(golden):
+    """SEDRFuse exercises transpose convs, GroupNorm, elementwise-max +
+    softmax-attention fusion, and cross encode/decode skips
+    (reference model.py:247-316)."""
+    d = golden("model_sedrfuse")
+
+    def conv(key):
+        return {"kernel": conv_w(d[f"sd__{key}.layers.0.weight"]),
+                "bias": d[f"sd__{key}.layers.0.bias"],
+                "norm": {"scale": d[f"sd__{key}.layers.1.weight"],
+                         "bias": d[f"sd__{key}.layers.1.bias"]}}
+
+    def deconv(key):
+        return {"kernel": np.transpose(d[f"sd__{key}.layers.0.weight"],
+                                       (2, 3, 0, 1)),
+                "bias": d[f"sd__{key}.layers.0.bias"],
+                "norm": {"scale": d[f"sd__{key}.layers.1.weight"],
+                         "bias": d[f"sd__{key}.layers.1.bias"]}}
+
+    params = {
+        "enc0": conv("encode.0"),
+        "enc1": conv("encode.1"),
+        "enc2": conv("encode.2"),
+        "res": {"ConvLayer_0": conv("encode.3.layers.0"),
+                "ConvLayer_1": conv("encode.3.layers.1")},
+        "dec0": deconv("decode.0"),
+        "dec1": deconv("decode.1"),
+        "dec2": {"kernel": conv_w(d["sd__decode.2.layers.0.weight"]),
+                 "bias": d["sd__decode.2.layers.0.bias"]},
+    }
+    model = create_model("sedrfuse")
+    x1 = nchw_to_nhwc(d["x1"])
+    x2 = nchw_to_nhwc(d["x2"])
+    with jax.default_matmul_precision("float32"):
+        y = model.apply({"params": params}, x1, x2, train=False)
+        y_ae = model.apply({"params": params}, x1, train=False)
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y)), d["y"],
+                               atol=1e-4)
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y_ae)), d["y_ae"],
+                               atol=1e-4)

@@ -233,3 +233,24 @@ def gen_models():
 
 if __name__ == "__main__" and os.environ.get("GOLDEN_MODELS"):
     gen_models()
+
+
+def gen_sedrfuse():
+    from core.model import SEDRFuse
+
+    g = torch.Generator().manual_seed(0)
+    x1 = torch.rand(1, 1, 64, 48, generator=g)
+    x2 = torch.rand(1, 1, 64, 48, generator=g)
+    torch.manual_seed(5)
+    model = SEDRFuse().eval()
+    with torch.no_grad():
+        y = model(x1, x2)
+        y_ae = model(x1)
+    out = {"x1": t2n(x1), "x2": t2n(x2), "y": t2n(y), "y_ae": t2n(y_ae)}
+    for kk, v in model.state_dict().items():
+        out[f"sd__{kk}"] = t2n(v)
+    save("model_sedrfuse", **out)
+
+
+if __name__ == "__main__" and os.environ.get("GOLDEN_SEDR"):
+    gen_sedrfuse()

@@ -1,0 +1,77 @@
+"""Torch->flax checkpoint conversion tests.
+
+Structural: for every classic model, build a random state_dict from the
+reference's shape manifest (tests/golden/sd_shapes.json), convert, and
+check the result matches the flax model's own init tree exactly (same
+paths, same shapes).
+
+Numerical: for the three models with full weight fixtures, converted
+checkpoints must reproduce the reference outputs.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_image_fusion_tpu.models import create_model
+from multi_modal_image_fusion_tpu.utils.torch_convert import \
+    convert_state_dict
+
+from conftest import nchw_to_nhwc, nhwc_to_nchw
+
+SHAPES = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden",
+                      "sd_shapes.json")))
+
+
+def tree_shapes(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(tree_shapes(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(np.shape(v))
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(SHAPES))
+def test_convert_structure(name):
+    rng = np.random.RandomState(0)
+    sd = {k: rng.rand(*shape).astype(np.float32) if shape else
+          np.float32(0) for k, shape in SHAPES[name].items()}
+    converted = convert_state_dict(name, sd)
+
+    model = create_model(name)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    variables = jax.device_get(
+        model.init(jax.random.PRNGKey(0), x, x, train=False))
+
+    want = tree_shapes(variables["params"])
+    got = tree_shapes(converted["params"])
+    assert got == want, (
+        f"param tree mismatch for {name}: "
+        f"missing={sorted(set(want) - set(got))[:4]} "
+        f"extra={sorted(set(got) - set(want))[:4]}")
+
+    if "batch_stats" in variables:
+        want_bs = tree_shapes(jax.device_get(variables["batch_stats"]))
+        got_bs = tree_shapes(converted.get("batch_stats", {}))
+        assert got_bs == want_bs
+
+
+@pytest.mark.parametrize("name", ["deepfuse", "densefuse", "sedrfuse"])
+def test_convert_numerical(golden, name):
+    d = golden(f"model_{name}")
+    sd = {k[len("sd__"):]: d[k] for k in d.files if k.startswith("sd__")}
+    variables = convert_state_dict(name, sd)
+    model = create_model(name)
+    x1 = nchw_to_nhwc(d["x1"])
+    x2 = nchw_to_nhwc(d["x2"])
+    with jax.default_matmul_precision("float32"):
+        y = model.apply(variables, x1, x2, train=False)
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y)), d["y"],
+                               atol=1e-4)

@@ -254,3 +254,31 @@ def gen_sedrfuse():
 
 if __name__ == "__main__" and os.environ.get("GOLDEN_SEDR"):
     gen_sedrfuse()
+
+
+def gen_sd_shapes():
+    """Shape-only state_dict manifests for every classic model: enough to
+    validate checkpoint conversion structurally without shipping weights."""
+    import json
+
+    from core.model import (DBNet, DeepFuse, DenseFuse, DIFNet, IFCNN,
+                            MAFusion, NestFuse, PFNetv1, PFNetv2, PMGI,
+                            Res2Fusion, RFNNest, SEDRFuse, UNFusion, VIFNet)
+
+    models = dict(deepfuse=DeepFuse, densefuse=DenseFuse, vifnet=VIFNet,
+                  dbnet=DBNet, sedrfuse=SEDRFuse, nestfuse=NestFuse,
+                  rfnnest=RFNNest, unfusion=UNFusion,
+                  res2fusion=Res2Fusion, mafusion=MAFusion, ifcnn=IFCNN,
+                  difnet=DIFNet, pmgi=PMGI, pfnetv1=PFNetv1,
+                  pfnetv2=PFNetv2)
+    out = {}
+    for name, cls in models.items():
+        sd = cls().state_dict()
+        out[name] = {k: list(v.shape) for k, v in sd.items()}
+    with open(os.path.join(OUT, "sd_shapes.json"), "w") as f:
+        json.dump(out, f)
+    print("wrote sd_shapes.json:", {k: len(v) for k, v in out.items()})
+
+
+if __name__ == "__main__" and os.environ.get("GOLDEN_SHAPES"):
+    gen_sd_shapes()

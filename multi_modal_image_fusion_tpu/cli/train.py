@@ -36,11 +36,18 @@ from .common import (dataset_layout, get_train_parser, parse_model_cfg,
 
 
 def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
-              save_dir=None):
+              save_dir=None, log_interval=10):
+    """One train/valid epoch. Loss scalars stay on device between log
+    points (a host fetch costs a full dispatch round-trip; the reference's
+    per-iter `.item()` syncs, train.py:98, are the same trap on GPU) — the
+    epoch average is accumulated on device and fetched once, so it is
+    exact, while per-iter scalar logging samples every `log_interval`."""
     loss_meter = AverageMeter()
     num_iters = len(feeder)
     start_time = time.time()
     last = None
+    loss_sum = None
+    n_total = 0
 
     for it, batch in enumerate(feeder):
         if mode == "train":
@@ -49,17 +56,22 @@ def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
             parts, imgf = trainer.valid_step(state, batch)
         last = (batch, imgf)
 
-        total = float(parts["loss"])
         n = (batch[0] if isinstance(batch, (tuple, list))
              else batch).shape[0]
-        loss_meter.update(total, n)
+        contrib = parts["loss"] * n       # lazy, stays on device
+        loss_sum = contrib if loss_sum is None else loss_sum + contrib
+        n_total += n
 
-        global_step = num_iters * epoch + it
-        writer.add_scalar(f"{mode}_loss_iter", total, global_step)
-        for k in ("loss1", "loss2", "loss3"):
-            writer.add_scalar(f"{mode}_{k}_iter", float(parts[k]),
+        if (it + 1) % log_interval == 0 or it + 1 == num_iters:
+            global_step = num_iters * epoch + it
+            writer.add_scalar(f"{mode}_loss_iter", float(parts["loss"]),
                               global_step)
-        if (it + 1) % 10 == 0:
+            for k in ("loss1", "loss2", "loss3"):
+                writer.add_scalar(f"{mode}_{k}_iter", float(parts[k]),
+                                  global_step)
+            loss_meter.sum = float(loss_sum)
+            loss_meter.count = n_total
+            loss_meter.avg = loss_meter.sum / max(n_total, 1)
             logger.info(f"epoch: {epoch + 1:0>2}, iter: {it + 1:0>3}, "
                         f"{mode} loss: {loss_meter.avg:.4f}")
 

@@ -55,8 +55,19 @@ def get_train_parser():
                    help="checkpoint folder name to resume from "
                         "(loads epoch_last.ckpt; the reference cannot "
                         "resume at all)")
+    p.add_argument("--init_from", default=None, type=str,
+                   help="checkpoint folder name to initialize params from "
+                        "(params/batch_stats only, fresh optimizer — "
+                        "stage 2 of two-stage training after --ae "
+                        "pretraining)")
     _bool_flag(p, "profile", False,
                "capture a jax.profiler trace of the first training epoch")
+    _bool_flag(p, "multihost", False,
+               "initialize jax.distributed before building the mesh "
+               "(multi-host training: the same data-parallel code then "
+               "spans hosts, with XLA routing collectives over ICI/DCN; "
+               "replaces the reference's single-node NCCL limitation, "
+               "common.py:96-102)")
     p.add_argument("--model_cfg", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="model constructor overrides, repeatable — e.g. "

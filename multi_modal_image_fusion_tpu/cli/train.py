@@ -99,6 +99,9 @@ def main(argv=None):
     args = get_train_parser().parse_args(argv)
     setup_seed(args.seed)
 
+    if args.multihost:
+        jax.distributed.initialize()
+
     ckpt_root = args.ckpt_root or os.path.join(
         os.path.dirname(__file__), "..", "..", "..", "checkpoints")
     from datetime import datetime
@@ -179,6 +182,30 @@ def main(argv=None):
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
 
     start_epoch = 0
+    if args.init_from:
+        # stage-2 init: params (+ batch stats) from an AE-pretrained
+        # checkpoint, optimizer state fresh
+        import flax
+
+        from ..parallel.mesh import replicate
+
+        init_path = os.path.join(ckpt_root, args.init_from,
+                                 "epoch_best.ckpt")
+        if not os.path.isfile(init_path):
+            init_path = os.path.join(ckpt_root, args.init_from,
+                                     "epoch_last.ckpt")
+        with open(init_path, "rb") as f:
+            restored = flax.serialization.msgpack_restore(f.read())
+        host_state = jax.device_get(state)
+        loaded = flax.serialization.from_state_dict(
+            host_state.params, restored["params"])
+        state = state.replace(params=replicate(loaded, mesh))
+        if restored.get("batch_stats"):
+            bs = flax.serialization.from_state_dict(
+                jax.device_get(state.batch_stats),
+                restored["batch_stats"])
+            state = state.replace(batch_stats=replicate(bs, mesh))
+        logger.info(f"initialized params from {init_path}")
     if args.resume:
         from ..train.checkpoint import load_checkpoint, load_checkpoint_meta
 

@@ -78,9 +78,10 @@ class Feeder:
             take = idx[i:i + self.batch_size]
             if len(take) % ndev:
                 # wrap-pad the final partial batch to a device multiple
-                # (torch DistributedSampler semantics)
+                # (torch DistributedSampler semantics); np.resize repeats
+                # cyclically, so it also covers pad > len(take)
                 pad = ndev - len(take) % ndev
-                take = np.concatenate([take, take[:pad]])
+                take = np.resize(take, len(take) + pad)
             items = [self.dataset[int(j)] for j in take]
             yield _to_batch(items)
 

@@ -121,3 +121,29 @@ def test_eval_metric_sheet_layout(tiny_dataset, tmp_path):
         assert 'name="SSIM"' in wb and 'name="Qabf"' in wb
         s1 = z.read("xl/worksheets/sheet1.xml").decode()
         assert "DenseFuse" in s1 and "DeepFuse" in s1
+
+
+def test_two_stage_training(tiny_dataset, tmp_path):
+    """Stage 1: AE reconstruction pretraining; stage 2: fusion training
+    initialized from the AE params (--ae then --init_from)."""
+    import numpy as np
+
+    from multi_modal_image_fusion_tpu.cli import train as train_cli
+
+    ckpt_root = str(tmp_path / "checkpoints")
+    stage1 = train_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--model", "densefuse",
+        "--ae", "--no-use_patches", "--bs", "4", "--epoch", "1",
+    ])
+    log1 = open(os.path.join(stage1, "train.log")).read()
+    assert "train loss" in log1
+
+    stage2 = train_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--model", "densefuse",
+        "--bs", "8", "--epoch", "1",
+        "--init_from", os.path.basename(stage1),
+    ])
+    log2 = open(os.path.join(stage2, "train.log")).read()
+    assert "initialized params from" in log2

@@ -285,15 +285,21 @@ def calc_vif(img1, img2, use_padding=False):
             im1 = im1[:, ::2, ::2, :]
             im2 = im2[:, ::2, ::2, :]
 
-        mu1 = gaussian_filter(im1, kernel1d, use_padding)
-        mu2 = gaussian_filter(im2, kernel1d, use_padding)
+        if _use_pallas_ssim(im1, win_size):
+            from .pallas.moments_kernel import moments_pallas
 
-        sigma1_sq = gaussian_filter(im1 * im1, kernel1d,
-                                    use_padding) - mu1 * mu1
-        sigma2_sq = gaussian_filter(im2 * im2, kernel1d,
-                                    use_padding) - mu2 * mu2
-        sigma12 = gaussian_filter(im1 * im2, kernel1d,
-                                  use_padding) - mu1 * mu2
+            mu1, mu2, m11, m22, m12 = moments_pallas(
+                im1, im2, win_size, win_size / 5, use_padding)
+        else:
+            mu1 = gaussian_filter(im1, kernel1d, use_padding)
+            mu2 = gaussian_filter(im2, kernel1d, use_padding)
+            m11 = gaussian_filter(im1 * im1, kernel1d, use_padding)
+            m22 = gaussian_filter(im2 * im2, kernel1d, use_padding)
+            m12 = gaussian_filter(im1 * im2, kernel1d, use_padding)
+
+        sigma1_sq = m11 - mu1 * mu1
+        sigma2_sq = m22 - mu2 * mu2
+        sigma12 = m12 - mu1 * mu2
 
         sigma1_sq = jnp.clip(sigma1_sq, 0.0, None)
         sigma2_sq = jnp.clip(sigma2_sq, 0.0, None)

@@ -76,3 +76,22 @@ def test_fast_inference_context_routes_convs():
     with fast_inference():
         y2 = model.apply(v, x, x, train=False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_moments_kernel_parity():
+    from multi_modal_image_fusion_tpu.ops.pallas.moments_kernel import \
+        moments_pallas
+    from multi_modal_image_fusion_tpu.ops.ssim import gaussian_filter
+
+    r = np.random.RandomState(0)
+    x1 = jnp.asarray(r.rand(1, 200, 180, 1), jnp.float32)
+    x2 = jnp.asarray(r.rand(1, 200, 180, 1), jnp.float32)
+    ws = 9
+    k1d = gaussian_kernel(ws, ws / 5)
+    want = (gaussian_filter(x1, k1d), gaussian_filter(x2, k1d),
+            gaussian_filter(x1 * x1, k1d), gaussian_filter(x2 * x2, k1d),
+            gaussian_filter(x1 * x2, k1d))
+    got = moments_pallas(x1, x2, ws, ws / 5, interpret=True)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)

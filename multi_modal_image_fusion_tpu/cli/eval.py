@@ -30,25 +30,42 @@ METRIC_LABELS = ["SD", "AG", "SF", "MSE", "PSNR", "CC", "SCD", "EN", "CE",
 
 def eval_method(img1_dir, img2_dir, imgf_dir):
     """Evaluate one method's dumped results; returns (names, rows) where
-    rows[i] is the 16-metric dict for image i."""
-    jit_eval = jax.jit(eval_metrics)
-    names, rows = [], []
+    rows[i] is the 16-metric dict for image i.
+
+    Images are grouped by shape and evaluated as one vmapped device call
+    per group (per-image reductions fall out of vmap automatically) — the
+    reference loops per image per metric on host (eval.py:181-231)."""
+    jit_eval_batch = jax.jit(jax.vmap(eval_metrics))
     files = [f for f in natsorted(os.listdir(img1_dir))
              if f.endswith((".bmp", ".jpg", ".png"))]
+
+    groups = {}          # shape -> list of (orig_idx, name, i1, i2, if)
     for i, img in enumerate(files):
-        img1 = imread_gray(os.path.join(img1_dir, img))
-        img2 = imread_gray(os.path.join(img2_dir, img))
         imgf_path = os.path.join(imgf_dir, f"{i + 1:0>2}.bmp")
         if not os.path.isfile(imgf_path):
             print(f"skipping {img}: no fused result {imgf_path}")
             continue
+        img1 = imread_gray(os.path.join(img1_dir, img))
+        img2 = imread_gray(os.path.join(img2_dir, img))
         imgf = imread_gray(imgf_path)
+        groups.setdefault(img1.shape, []).append((i, img, img1, img2,
+                                                  imgf))
 
-        to_dev = lambda a: jnp.asarray(a)[None, ..., None]
-        out = jit_eval(to_dev(img1), to_dev(img2), to_dev(imgf))
-        rows.append({k: float(v) for k, v in out.items()})
+    results = {}
+    for shape, items in groups.items():
+        stack = lambda idx: jnp.asarray(
+            np.stack([it[idx] for it in items]))[:, None, ..., None]
+        out = jit_eval_batch(stack(2), stack(3), stack(4))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for j, (i, img, *_rest) in enumerate(items):
+            results[i] = (img, {k: float(v[j]) for k, v in out.items()})
+            print(f"evaluating {img} ... done")
+
+    names, rows = [], []
+    for i in sorted(results):
+        img, row = results[i]
         names.append(img)
-        print(f"evaluating {img} ... done")
+        rows.append(row)
     return names, rows
 
 

@@ -282,3 +282,36 @@ def gen_sd_shapes():
 
 if __name__ == "__main__" and os.environ.get("GOLDEN_SHAPES"):
     gen_sd_shapes()
+
+
+def gen_edge_cases():
+    from core.loss import calc_ssim as loss_ssim
+    from core.metric import calc_msssim as metric_msssim
+    from core.metric import calc_ssim as metric_ssim
+
+    g = torch.Generator().manual_seed(0)
+    out = {}
+    # tiny images: window shrinks to min(win, h, w); loss sigma becomes
+    # 0.15*(ws-1), metric sigma stays 1.5
+    for h, w in [(8, 8), (9, 15), (16, 300)]:
+        x1 = torch.rand(1, 1, h, w, generator=g)
+        x2 = torch.rand(1, 1, h, w, generator=g)
+        key = f"{h}x{w}"
+        out[f"x1_{key}"] = t2n(x1)
+        out[f"x2_{key}"] = t2n(x2)
+        d = loss_ssim(x1, x2, data_range=1.0)
+        out[f"loss_ssim_{key}"] = t2n(d["ssim"])
+        out[f"metric_ssim_{key}"] = t2n(
+            metric_ssim(x1 * 255, x2 * 255))
+    # large msssim at a 176-boundary size (min for 5 levels of win 11)
+    x1 = torch.rand(1, 1, 176, 180, generator=g)
+    x2 = torch.rand(1, 1, 176, 180, generator=g)
+    out["x1_176x180"] = t2n(x1)
+    out["x2_176x180"] = t2n(x2)
+    out["metric_msssim_176x180"] = t2n(
+        metric_msssim(x1 * 255, x2 * 255))
+    save("edge_cases", **out)
+
+
+if __name__ == "__main__" and os.environ.get("GOLDEN_EDGE"):
+    gen_edge_cases()

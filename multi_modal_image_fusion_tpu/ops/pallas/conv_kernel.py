@@ -70,11 +70,37 @@ def _conv_kernel(x_ref, w_ref, out_ref, a_ref, acc_ref, *, k, rows, w_out,
     out_ref[0, 0, 0] = acc_ref[:, :, :].astype(out_dtype)
 
 
+def _conv_kernel_ashift(x_ref, w_ref, out_ref, a_ref, acc_ref, *, k, rows,
+                        w_out, c_in, c_out, out_dtype, p_dtype, kw_chunk):
+    """Epilogue-free variant: instead of slicing the partial-product
+    buffer's output columns, slice the A stack's input columns per kw —
+    each kw is then an (M, k*c_in) x (k*c_in, c_out) matmul whose result
+    adds straight into the accumulator with no strided-slice epilogue.
+    Trades one extra A-slice copy per kw for never materializing the
+    (k*c_out)-wide partial products."""
+    wp = x_ref.shape[4]
+    for kh in range(k):
+        a_ref[:, :, kh * c_in:(kh + 1) * c_in] = \
+            x_ref[0, 0, 0, pl.ds(kh, rows), :, :]
+
+    for kw in range(k):
+        a_kw = a_ref[:, pl.ds(kw, w_out), :].reshape(rows * w_out,
+                                                     k * c_in)
+        p = jnp.dot(a_kw, w_ref[:, kw * c_out:(kw + 1) * c_out],
+                    preferred_element_type=p_dtype)
+        p = p.reshape(rows, w_out, c_out)
+        if kw == 0:
+            acc_ref[:, :, :] = p
+        else:
+            acc_ref[:, :, :] += p
+    out_ref[0, 0, 0] = acc_ref[:, :, :].astype(out_dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "interpret", "rows", "wtile",
-                                    "kw_chunk"))
+                                    "kw_chunk", "ashift"))
 def conv_shifted_gemm(x, w, k, rows=16, wtile=512, kw_chunk=None,
-                      interpret=False):
+                      ashift=False, interpret=False):
     """x: (B, H + k - 1, W + k - 1, C_in) pre-padded NHWC;
     w: (k, k, C_in, C_out) HWIO. Returns (B, H, W, C_out).
 
@@ -111,7 +137,8 @@ def conv_shifted_gemm(x, w, k, rows=16, wtile=512, kw_chunk=None,
 
     if kw_chunk is None:
         kw_chunk = k
-    kern = functools.partial(_conv_kernel, k=k, rows=rows, w_out=wtile,
+    kern_fn = _conv_kernel_ashift if ashift else _conv_kernel
+    kern = functools.partial(kern_fn, k=k, rows=rows, w_out=wtile,
                              c_in=c_in, c_out=c_out, out_dtype=x.dtype,
                              p_dtype=p_dtype, kw_chunk=kw_chunk)
     out = pl.pallas_call(
@@ -130,7 +157,9 @@ def conv_shifted_gemm(x, w, k, rows=16, wtile=512, kw_chunk=None,
                                lambda bi, i, j: (bi, i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows * (wtile + k - 1), k * c_in), x.dtype),
+            (pltpu.VMEM((rows, wtile + k - 1, k * c_in), x.dtype)
+             if ashift else
+             pltpu.VMEM((rows * (wtile + k - 1), k * c_in), x.dtype)),
             pltpu.VMEM((rows, wtile, c_out), jnp.float32),
         ],
         interpret=interpret,

@@ -169,3 +169,102 @@ def conv_shifted_gemm(x, w, k, rows=16, wtile=512, kw_chunk=None,
     out = jnp.moveaxis(out, 2, 3).reshape(b, grid_h * rows, grid_w * wtile,
                                           c_out)
     return out[:, :h, :w_out_final, :]
+
+
+def _conv_kernel_tlane(t_ref, w_ref, out_ref, a_ref, acc_ref, *, k, rows,
+                       w_out, c_in, c_out, out_dtype):
+    """Transposed-layout kernel: W on lanes, channels on sublane-major dims
+    — every buffer is lane-dense (no 4x 128-lane padding tax on c=32).
+
+    t_ref:   (1,1,1, c_in, rows+k-1, Wp)   input tile, NCHW-ish
+    w_ref:   (k*c_in, k*c_out)             [(kh,c), (kw,n)]
+    out_ref: (1,1,1, c_out, rows, w_out)
+    a_ref:   (k*c_in, rows, Wp)            A[(kh,c), r, w] = t[c, r+kh, w]
+    acc_ref: (c_out, rows, Wp)             f32 accumulator
+
+    For each kw: roll A left by kw lanes (w+kw indexing) and contract over
+    (kh,c) on the MXU: P_kw[n, r, w] = sum_K wm[K, (kw,n)] * A_kw[K, r, w].
+    Accumulation is dense; wrap garbage lives beyond w_out and is never
+    written out.
+    """
+    wp = t_ref.shape[5]
+    for kh in range(k):
+        a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
+            t_ref[0, 0, 0, :, pl.ds(kh, rows), :]
+
+    for kw in range(k):
+        a = a_ref[:, :, :]
+        if kw:
+            a = pltpu.roll(a, wp - kw, 2)       # left-shift by kw lanes
+        p = jax.lax.dot_general(
+            w_ref[:, kw * c_out:(kw + 1) * c_out], a,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (c_out, rows, Wp)
+        if kw == 0:
+            acc_ref[:, :, :] = p
+        else:
+            acc_ref[:, :, :] += p
+    out_ref[0, 0, 0] = acc_ref[:, :, pl.ds(0, w_out)].astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "rows", "wtile"))
+def conv_shifted_gemm_tlane(x, w, k, rows=16, wtile=506, interpret=False):
+    """Transposed-layout shifted-GEMM conv. Same contract as
+    conv_shifted_gemm (pre-padded NHWC in, NHWC out); internally runs in
+    (C, H, W) tiles with W on the lane dim. Best when wtile + k - 1 is a
+    multiple of 128 (wtile=506 for k=7)."""
+    b, hp, wp_raw, c_in = x.shape
+    c_out = w.shape[-1]
+    h = hp - (k - 1)
+    w_out_final = wp_raw - (k - 1)
+
+    grid_h = pl.cdiv(h, rows)
+    grid_w = pl.cdiv(w_out_final, wtile)
+    hp_pad = grid_h * rows + (k - 1) - hp
+    wp_pad = grid_w * wtile + (k - 1) - wp_raw
+    x = jnp.pad(x, ((0, 0), (0, hp_pad), (0, wp_pad), (0, 0)))
+
+    xt = jnp.transpose(x, (0, 3, 1, 2))       # (B, C, Hp, Wp)
+
+    wm = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_in, k * c_out)
+    wm = wm.astype(x.dtype)
+
+    idx_h = (np.arange(grid_h)[:, None] * rows +
+             np.arange(rows + k - 1)[None, :])
+    idx_w = (np.arange(grid_w)[:, None] * wtile +
+             np.arange(wtile + k - 1)[None, :])
+    tiles = xt[:, :, idx_h, :][..., idx_w]
+    # (B, C, grid_h, rows+k-1, grid_w, wtile+k-1) -> (B, gh, gw, C, r, w)
+    tiles = jnp.transpose(tiles, (0, 2, 4, 1, 3, 5))
+
+    wp = wtile + k - 1
+    kern = functools.partial(_conv_kernel_tlane, k=k, rows=rows,
+                             w_out=wtile, c_in=c_in, c_out=c_out,
+                             out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, grid_h, grid_w, c_out, rows, wtile), x.dtype),
+        grid=(b, grid_h, grid_w),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, c_in, rows + k - 1, wp),
+                         lambda bi, i, j: (bi, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * c_in, k * c_out), lambda bi, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, c_out, rows, wtile),
+                               lambda bi, i, j: (bi, i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k * c_in, rows, wp), x.dtype),
+            pltpu.VMEM((c_out, rows, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tiles, wm)
+
+    # (B, gh, gw, C, rows, wtile) -> NHWC
+    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3)).reshape(
+        b, grid_h * rows, grid_w * wtile, c_out)
+    return out[:, :h, :w_out_final, :]

@@ -195,7 +195,12 @@ def _conv_kernel_tlane(t_ref, w_ref, out_ref, a_ref, acc_ref, *, k, rows,
     for kw in range(k):
         a = a_ref[:, :, :]
         if kw:
-            a = pltpu.roll(a, wp - kw, 2)       # left-shift by kw lanes
+            # pltpu.roll rejects non-32-bit data; roll in f32 when needed
+            if a.dtype == jnp.float32:
+                a = pltpu.roll(a, wp - kw, 2)   # left-shift by kw lanes
+            else:
+                a = pltpu.roll(a.astype(jnp.float32), wp - kw,
+                               2).astype(a.dtype)
         p = jax.lax.dot_general(
             w_ref[:, kw * c_out:(kw + 1) * c_out], a,
             (((0,), (0,)), ((), ())),

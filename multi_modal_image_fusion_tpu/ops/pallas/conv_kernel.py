@@ -273,3 +273,100 @@ def conv_shifted_gemm_tlane(x, w, k, rows=16, wtile=506, interpret=False):
     out = jnp.transpose(out, (0, 1, 4, 2, 5, 3)).reshape(
         b, grid_h * rows, grid_w * wtile, c_out)
     return out[:, :h, :w_out_final, :]
+
+
+def _conv_kernel_ilane(t_ref, w_ref, out_ref, a_ref, acc_ref, *, k, rows,
+                       w_out, c_in, c_out, out_dtype, kw_chunk):
+    """Interleaved-lane kernel: input/output lanes carry (w, c) interleaved,
+    so every buffer is lane-dense (no 4x 128-lane padding on c=32) while
+    the matmul keeps the MXU-shaped K=k*c_in x N=kw_chunk*c_out form.
+
+    t_ref:   (1,1,1, rows+k-1, (wtile+k-1)*c_in)
+    w_ref:   (k*c_in, k*c_out)
+    out_ref: (1,1,1, rows, wtile*c_out)
+    a_ref:   (rows*(wtile+k-1), k*c_in)
+    acc_ref: (rows, wtile*c_out) f32
+    """
+    wp = t_ref.shape[4] // c_in
+    for kh in range(k):
+        a_ref[:, kh * c_in:(kh + 1) * c_in] = \
+            t_ref[0, 0, 0, pl.ds(kh, rows), :].reshape(rows * wp, c_in)
+
+    for kw0 in range(0, k, kw_chunk):
+        g = min(kw_chunk, k - kw0)
+        p = jnp.dot(a_ref[:, :],
+                    w_ref[:, kw0 * c_out:(kw0 + g) * c_out],
+                    preferred_element_type=jnp.float32)
+        p = p.reshape(rows, wp, g * c_out)
+        for j in range(g):
+            kw = kw0 + j
+            term = p[:, kw:kw + w_out,
+                     j * c_out:(j + 1) * c_out].reshape(rows,
+                                                        w_out * c_out)
+            if kw == 0:
+                acc_ref[:, :] = term
+            else:
+                acc_ref[:, :] += term
+    out_ref[0, 0, 0] = acc_ref[:, :].astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "rows", "wtile",
+                                    "kw_chunk"))
+def conv_shifted_gemm_ilane(x, w, k, rows=16, wtile=506, kw_chunk=4,
+                            interpret=False):
+    """Interleaved-lane shifted-GEMM conv (same contract as
+    conv_shifted_gemm)."""
+    b, hp, wp_raw, c_in = x.shape
+    c_out = w.shape[-1]
+    h = hp - (k - 1)
+    w_out_final = wp_raw - (k - 1)
+
+    grid_h = pl.cdiv(h, rows)
+    grid_w = pl.cdiv(w_out_final, wtile)
+    hp_pad = grid_h * rows + (k - 1) - hp
+    wp_pad = grid_w * wtile + (k - 1) - wp_raw
+    x = jnp.pad(x, ((0, 0), (0, hp_pad), (0, wp_pad), (0, 0)))
+
+    wm = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_in, k * c_out)
+    wm = wm.astype(x.dtype)
+
+    idx_h = (np.arange(grid_h)[:, None] * rows +
+             np.arange(rows + k - 1)[None, :])
+    idx_w = (np.arange(grid_w)[:, None] * wtile +
+             np.arange(wtile + k - 1)[None, :])
+    tiles = x[:, idx_h, :, :][:, :, :, idx_w, :]
+    tiles = jnp.moveaxis(tiles, 3, 2)
+    # interleave (w, c) on lanes
+    wp = wtile + k - 1
+    tiles = tiles.reshape(b, grid_h, grid_w, rows + k - 1, wp * c_in)
+
+    kern = functools.partial(_conv_kernel_ilane, k=k, rows=rows,
+                             w_out=wtile, c_in=c_in, c_out=c_out,
+                             out_dtype=x.dtype, kw_chunk=kw_chunk)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, grid_h, grid_w, rows, wtile * c_out), x.dtype),
+        grid=(b, grid_h, grid_w),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, rows + k - 1, wp * c_in),
+                         lambda bi, i, j: (bi, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * c_in, k * c_out), lambda bi, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, rows, wtile * c_out),
+                               lambda bi, i, j: (bi, i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows * wp, k * c_in), x.dtype),
+            pltpu.VMEM((rows, wtile * c_out), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tiles, wm)
+
+    out = out.reshape(b, grid_h, grid_w, rows, wtile, c_out)
+    out = jnp.moveaxis(out, 2, 3).reshape(b, grid_h * rows,
+                                          grid_w * wtile, c_out)
+    return out[:, :h, :w_out_final, :]

@@ -112,3 +112,20 @@ def test_tlane_conv_parity():
     got = conv_shifted_gemm_tlane(x, wgt, k, rows=16, wtile=64,
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_ilane_conv_parity():
+    import jax
+
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import \
+        conv_shifted_gemm_ilane
+
+    r = np.random.RandomState(0)
+    k = 7
+    x = jnp.asarray(r.rand(2, 46, 306, 32), jnp.float32)
+    wgt = jnp.asarray(r.rand(k, k, 32, 32) - 0.5, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv_shifted_gemm_ilane(x, wgt, k, rows=16, wtile=64, kw_chunk=4,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

@@ -6,6 +6,15 @@ train.py:228-239) fusing polarization-resolution (1224x1024, README.md:61-69)
 grayscale pairs, batched, device-resident steady state; first execution
 excluded as compile warmup (mirroring reference test.py:41-48).
 
+Two timing rules, both learned the hard way on this platform (see
+docs/PERFORMANCE.md "Benchmark protocol"):
+  1. every timed iteration chains on the FULL previous output (y.mean()),
+     otherwise XLA dead-code-eliminates all but the fetched elements;
+  2. the timed region ends at a scalar *fetch* (float(...)), because
+     jax.block_until_ready can return before the device work completes
+     behind this environment's TPU relay — round 1's 58 pairs/s headline
+     was inflated ~3x by trusting it.
+
 Prints ONE JSON line:
   {"metric": "fusion_throughput_pairs_per_sec", "value": N,
    "unit": "pairs/s", "vs_baseline": N / 2000}
@@ -14,7 +23,6 @@ Prints ONE JSON line:
 import functools
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -27,6 +35,7 @@ def main():
     import jax.numpy as jnp
 
     from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops.layers import fast_inference
     from multi_modal_image_fusion_tpu.utils.compile_cache import \
         enable_compilation_cache
 
@@ -35,7 +44,7 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     H, W = 1224, 1024
     batch = int(os.environ.get("BENCH_BATCH", "8" if on_tpu else "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "20" if on_tpu else "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "10" if on_tpu else "2"))
     model_name = os.environ.get("BENCH_MODEL", "deepfuse")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
@@ -46,33 +55,31 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x1[:1], x2[:1],
                            train=False)
     variables = jax.tree.map(lambda p: p.astype(dtype), variables)
-    x1 = x1.astype(dtype)
     x2 = x2.astype(dtype)
 
-    # On-device timing loop: host-side dispatch through this environment's
-    # TPU relay costs ~20ms per dependent execution, so the loop runs as a
-    # single jit'd lax.fori_loop; each iteration chains its input to the
-    # previous output (serial, dedup-proof) and only two dispatches happen
-    # (warmup + timed).
     @functools.partial(jax.jit, static_argnames="n")
     def bench_loop(a, b, n):
         def body(i, carry):
             a, s = carry
             y = model.apply(variables, a, b, train=False)
-            a = a + y.mean().astype(a.dtype) * jnp.asarray(1e-6, a.dtype)
-            return a, s + y[0, 0, 0, 0].astype(jnp.float32)
+            m = y.mean()      # depends on every output element: no DCE
+            a = a + m.astype(a.dtype) * jnp.asarray(1e-6, a.dtype)
+            return a, s + m.astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, (a, jnp.float32(0.0)))
 
-    out = bench_loop(x1, x2, iters)          # compile + warmup
-    jax.block_until_ready(out)
+    with fast_inference():
+        # compile + warmup (result discarded)
+        out = bench_loop(x1.astype(dtype), x2, iters)
+        float(out[1])
 
-    # different input values: repeated identical executions are served from
-    # a result cache by the relay
-    x1 = x1 + jnp.asarray(1e-3, x1.dtype)
-    start = time.perf_counter()
-    out = bench_loop(x1, x2, iters)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+        # timed: fresh host data (relay result-cache proof), scalar fetch
+        # closes the region (block_until_ready is unreliable here)
+        x1 = jnp.asarray(r.rand(batch, H, W, 1), dtype)
+        jax.block_until_ready(x1)
+        start = time.perf_counter()
+        out = bench_loop(x1, x2, iters)
+        float(out[1])
+        elapsed = time.perf_counter() - start
 
     pairs_per_sec = batch * iters / elapsed
     print(json.dumps({

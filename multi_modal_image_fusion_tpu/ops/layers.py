@@ -45,11 +45,6 @@ def _pallas_conv_eligible(in_ch, ksize, stride, groups, dilation,
                           transpose):
     if not _FAST_INFERENCE.get() or os.environ.get("MMIF_NO_PALLAS"):
         return False
-    # experimental: the shifted-GEMM kernel is numerically verified
-    # (interpret mode + small TPU shapes) but Mosaic's VMEM stack
-    # accounting still rejects full-resolution tiles; opt in explicitly.
-    if not os.environ.get("MMIF_PALLAS_CONV"):
-        return False
     if jax.default_backend() != "tpu":
         return False
     return (not transpose and stride == 1 and groups == 1 and dilation == 1
@@ -241,9 +236,12 @@ class ConvLayer(nn.Module):
                                       self.groups, self.dilation,
                                       self.transpose)
                     and pad == self.ksize // 2):
-                from .pallas.conv_kernel import conv_shifted_gemm
+                from .pallas.conv_kernel import conv_tlane_dma
 
-                y = conv_shifted_gemm(x, kernel.astype(x.dtype), self.ksize)
+                # rows=16 is the measured sweet spot at c<=32; larger
+                # channel counts get rows=8 to stay inside VMEM
+                y = conv_tlane_dma(x, kernel.astype(x.dtype), self.ksize,
+                                   rows=16 if in_ch <= 32 else 8)
             else:
                 y = jax.lax.conv_general_dilated(
                     x,

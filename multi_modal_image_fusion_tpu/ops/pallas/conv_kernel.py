@@ -275,6 +275,276 @@ def conv_shifted_gemm_tlane(x, w, k, rows=16, wtile=506, interpret=False):
     return out[:, :h, :w_out_final, :]
 
 
+def _conv_kernel_tlane2(t_ref, w_ref, out_ref, a_ref, acc_ref, *, k, rows,
+                        w_out, c_in, c_out, out_dtype, kw_chunk):
+    """Big-M transposed-layout kernel — the round-2 fix for the three
+    round-1 Mosaic blockers (docs/PERFORMANCE.md):
+
+      (a) NHWC lane-padding tax   -> W on lanes: every buffer lane-dense
+      (b) per-kw f32 roll copies  -> static lane-slice epilogue, no rolls
+      (c) unsupported unfold      -> A built from k sublane-shift copies
+
+    The matmul contracts (kh,c) with an (kh,c) x (kw,n) weight matrix, so
+    M = kw_chunk*c_out (224 for k7/c32, MXU-shaped) instead of the old
+    tlane's starved M = c_out = 32; the w+kw indexing that the old variant
+    paid for with rolls is a *static lane slice* of the partial products.
+
+    t_ref:   (1,1,1, c_in, rows+k-1, wp)   input tile, W on lanes
+    w_ref:   (k*c_in, k*c_out)             [(kh,c), (kw,n)]
+    out_ref: (1,1,1, c_out, rows, w_out)
+    a_ref:   (k*c_in, rows, wp)            A[(kh,c), r, w] = t[c, r+kh, w]
+    acc_ref: (c_out, rows, w_out)          f32
+
+    out[n,r,w] = sum_kw P[(kw,n), r, w+kw],
+    P[(kw,n), r, w'] = sum_{kh,c} W[kh,kw,c,n] * t[c, r+kh, w'].
+    """
+    for kh in range(k):
+        a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
+            t_ref[0, 0, 0, :, pl.ds(kh, rows), :]
+
+    for kw0 in range(0, k, kw_chunk):
+        g = min(kw_chunk, k - kw0)
+        p = jax.lax.dot_general(
+            w_ref[:, kw0 * c_out:(kw0 + g) * c_out], a_ref[:, :, :],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (g*c_out, rows, wp)
+        for j in range(g):
+            kw = kw0 + j
+            term = p[j * c_out:(j + 1) * c_out, :, kw:kw + w_out]
+            if kw == 0:
+                acc_ref[:, :, :] = term
+            else:
+                acc_ref[:, :, :] += term
+    out_ref[0, 0, 0] = acc_ref[:, :, :].astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "rows", "wtile",
+                                    "kw_chunk"))
+def conv_tlane_gemm(x, w, k, rows=8, wtile=None, kw_chunk=4,
+                    interpret=False):
+    """Big-M transposed-layout shifted-GEMM conv (the round-2 kernel).
+
+    Same contract as conv_shifted_gemm: x (B, H+k-1, W+k-1, C_in)
+    pre-padded NHWC, w (k, k, C_in, C_out) HWIO -> (B, H, W, C_out).
+    wtile=None processes full-width strips (one w tile)."""
+    b, hp, wp_raw, c_in = x.shape
+    c_out = w.shape[-1]
+    h = hp - (k - 1)
+    w_out_final = wp_raw - (k - 1)
+    if wtile is None:
+        wtile = w_out_final
+
+    grid_h = pl.cdiv(h, rows)
+    grid_w = pl.cdiv(w_out_final, wtile)
+    # the A/P trailing dims get flattened as (rows, wp) -> (rows*wp) inside
+    # the kernel's dot_general — Mosaic only supports that shape cast when
+    # the lane dim is a multiple of 128, so round the halo'd tile width up
+    # (the extra columns are computed and discarded; 12% FLOPs at W=1024)
+    wp = -(-(wtile + k - 1) // 128) * 128
+    hp_pad = grid_h * rows + (k - 1) - hp
+    wpad = (grid_w - 1) * wtile + wp - wp_raw
+    x = jnp.pad(x, ((0, 0), (0, hp_pad), (0, max(wpad, 0)), (0, 0)))
+
+    xt = jnp.transpose(x, (0, 3, 1, 2))       # (B, C, Hp, Wp)
+
+    wm = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_in, k * c_out)
+    wm = wm.astype(x.dtype)
+
+    idx_h = (np.arange(grid_h)[:, None] * rows +
+             np.arange(rows + k - 1)[None, :])
+    idx_w = (np.arange(grid_w)[:, None] * wtile +
+             np.arange(wp)[None, :])
+    tiles = xt[:, :, idx_h, :][..., idx_w]
+    # (B, C, grid_h, rows+k-1, grid_w, wp) -> (B, gh, gw, C, r, w)
+    tiles = jnp.transpose(tiles, (0, 2, 4, 1, 3, 5))
+    kern = functools.partial(_conv_kernel_tlane2, k=k, rows=rows,
+                             w_out=wtile, c_in=c_in, c_out=c_out,
+                             out_dtype=x.dtype, kw_chunk=kw_chunk)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, grid_h, grid_w, c_out, rows, wtile), x.dtype),
+        grid=(b, grid_h, grid_w),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, c_in, rows + k - 1, wp),
+                         lambda bi, i, j: (bi, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * c_in, k * c_out), lambda bi, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, c_out, rows, wtile),
+                               lambda bi, i, j: (bi, i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k * c_in, rows, wp), x.dtype),
+            pltpu.VMEM((c_out, rows, wtile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tiles, wm)
+
+    # (B, gh, gw, C, rows, wtile) -> NHWC
+    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3)).reshape(
+        b, grid_h * rows, grid_w * wtile, c_out)
+    return out[:, :h, :w_out_final, :]
+
+
+def _conv_kernel_tlane_dma(x_ref, w_ref, out_ref, t_ref, a_ref, acc_ref,
+                           stage_ref, in_sems, out_sems, *, k, rows, hsub,
+                           w_out, wp, tdma, c_in, c_out, out_dtype,
+                           kw_chunk):
+    """tlane2 + in-kernel halo DMA + inner strip loop.
+
+    The tlane2 host-side halo gather costs 45 ms/call at 8x1224x1024x32
+    (measured) — 2.5x input duplication through an XLA gather. Here the
+    input stays in HBM and each rows-strip (with its k-1 halo, rounded to
+    the 8-sublane DMA granularity) is DMA'd into a double-buffered VMEM
+    slot, which (a) removes the gather entirely and (b) lets one program
+    own `hsub` strips, amortizing program-launch overhead. Outputs leave
+    per-strip through a double-buffered staging DMA, so VMEM never holds
+    more than two strips of activations in either direction.
+
+    x_ref:     (B, c_in, Hp, wp) HBM — whole array
+    w_ref:     (k*c_in, k*c_out) VMEM
+    out_ref:   (B, c_out, Hout, w_out) HBM — whole array
+    t_ref:     (2, c_in, tdma, wp) VMEM (input double buffer)
+    a_ref:     (k*c_in, rows, wp)
+    acc_ref:   (c_out, rows, w_out) f32
+    stage_ref: (2, c_out, rows, w_out) VMEM (output double buffer)
+    """
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    h0 = g * rows * hsub
+
+    def in_dma(slot, j):
+        return pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(h0 + j * rows, tdma), :],
+            t_ref.at[slot], in_sems.at[slot])
+
+    def out_dma(slot, j):
+        return pltpu.make_async_copy(
+            stage_ref.at[slot],
+            out_ref.at[b, :, pl.ds(h0 + j * rows, rows), :],
+            out_sems.at[slot])
+
+    in_dma(0, 0).start()
+
+    def strip(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < hsub)
+        def _():
+            in_dma(1 - slot, j + 1).start()
+
+        in_dma(slot, j).wait()
+
+        for kh in range(k):
+            a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
+                t_ref[slot, :, pl.ds(kh, rows), :]
+        a = a_ref[:, :, :]
+        for kw0 in range(0, k, kw_chunk):
+            g_ = min(kw_chunk, k - kw0)
+            p = jax.lax.dot_general(
+                w_ref[:, kw0 * c_out:(kw0 + g_) * c_out], a,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # in-place accumulation: an SSA value chain was measured at
+            # 31.9 vs 35.3 TFLOPS for the ref accumulator (and 7x the
+            # compile time) — Mosaic spills the big f32 chain anyway
+            for jj in range(g_):
+                kw = kw0 + jj
+                term = p[jj * c_out:(jj + 1) * c_out, :, kw:kw + w_out]
+                if kw == 0:
+                    acc_ref[:, :, :] = term
+                else:
+                    acc_ref[:, :, :] += term
+
+        # drain the staging slot used two strips ago before overwriting
+        @pl.when(j >= 2)
+        def _():
+            out_dma(slot, j - 2).wait()
+
+        stage_ref[slot] = acc_ref[:, :, :].astype(out_dtype)
+        out_dma(slot, j).start()
+        return carry
+
+    jax.lax.fori_loop(0, hsub, strip, 0)
+    # drain the last two output DMAs
+    for tail in (hsub - 2, hsub - 1):
+        if tail >= 0:
+            out_dma(tail % 2, tail).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "hsub", "kw_chunk",
+                                    "rows"))
+def conv_tlane_dma(x, w, k, hsub=None, kw_chunk=7, rows=8, interpret=False):
+    """DMA-fed big-M transposed-layout conv (the production round-2 kernel).
+
+    Same contract as conv_shifted_gemm: x (B, H+k-1, W+k-1, C_in)
+    pre-padded NHWC, w (k, k, C_in, C_out) HWIO -> (B, H, W, C_out).
+    hsub = strips per program (None: all of H in one program per batch);
+    rows = strip height, must be a multiple of 8 (HBM slice offsets/sizes
+    are 8-sublane aligned)."""
+    b, hp, wp_raw, c_in = x.shape
+    c_out = w.shape[-1]
+    h = hp - (k - 1)
+    w_out_final = wp_raw - (k - 1)
+    assert rows % 8 == 0
+
+    # lane dims must be 128-multiples (both the in-kernel flatten and the
+    # DMA'd blocks); compute on w_out128 columns, crop the valid w_out after
+    w_out128 = -(-w_out_final // 128) * 128
+    wp = -(-(w_out128 + k - 1) // 128) * 128
+    if hsub is None:
+        hsub = -(-h // rows)
+    strip = rows * hsub
+    grid_h = -(-h // strip)
+    tdma = -(-(rows + k - 1) // 8) * 8
+    hpad = (grid_h - 1) * strip + (hsub - 1) * rows + tdma - hp
+    x = jnp.pad(x, ((0, 0), (0, max(hpad, 0)), (0, wp - wp_raw), (0, 0)))
+    xt = jnp.transpose(x, (0, 3, 1, 2))       # (B, C, Hp, wp)
+
+    wm = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_in, k * c_out)
+    wm = wm.astype(x.dtype)
+
+    kern = functools.partial(
+        _conv_kernel_tlane_dma, k=k, rows=rows, hsub=hsub, w_out=w_out128,
+        wp=wp, tdma=tdma, c_in=c_in, c_out=c_out, out_dtype=x.dtype,
+        kw_chunk=kw_chunk)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, c_out, grid_h * strip, w_out128), x.dtype),
+        grid=(b, grid_h),
+        in_specs=[
+            # whole input stays in HBM: strips are DMA'd in-kernel
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            # weights: whole array resident in VMEM (unblocked — a blocked
+            # spec makes the pipeline stage the HBM output through VMEM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, c_in, tdma, wp), x.dtype),
+            pltpu.VMEM((k * c_in, rows, wp), x.dtype),
+            pltpu.VMEM((c_out, rows, w_out128), jnp.float32),
+            pltpu.VMEM((2, c_out, rows, w_out128), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        # Mosaic's scoped-vmem accounting charges every unrolled SSA temp
+        # concurrently; the default 16M limit rejects configs that run fine
+        # (physical VMEM headroom exists on v5e) — raise it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, wm)
+
+    # (B, c_out, H', W') -> NHWC, crop padding
+    return jnp.transpose(out, (0, 2, 3, 1))[:, :h, :w_out_final, :]
+
+
 def _conv_kernel_ilane(t_ref, w_ref, out_ref, a_ref, acc_ref, *, k, rows,
                        w_out, c_in, c_out, out_dtype, kw_chunk):
     """Interleaved-lane kernel: input/output lanes carry (w, c) interleaved,

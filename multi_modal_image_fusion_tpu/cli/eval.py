@@ -36,8 +36,13 @@ def eval_method(img1_dir, img2_dir, imgf_dir):
     per group (per-image reductions fall out of vmap automatically) — the
     reference loops per image per metric on host (eval.py:181-231)."""
     jit_eval_batch = jax.jit(jax.vmap(eval_metrics))
+    # same pairing filter as FusionDataset._list_pairs: only images whose
+    # partner exists are enumerated, so the NN.bmp indices dumped by
+    # cli/test.py and the indices read here share one index space even if
+    # the vis dir contains unpaired images
     files = [f for f in natsorted(os.listdir(img1_dir))
-             if f.endswith((".bmp", ".jpg", ".png"))]
+             if f.endswith((".bmp", ".jpg", ".png"))
+             and os.path.isfile(os.path.join(img2_dir, f))]
 
     groups = {}          # shape -> list of (orig_idx, name, i1, i2, if)
     for i, img in enumerate(files):

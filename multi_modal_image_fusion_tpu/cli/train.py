@@ -49,15 +49,25 @@ def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
     loss_sum = None
     n_total = 0
 
-    for it, batch in enumerate(feeder):
-        if mode == "train":
+    for it, item in enumerate(feeder):
+        if getattr(feeder, "with_mask", False):
+            # masked valid batches: wrap-padded samples are excluded from
+            # the loss, n counts only true samples — exact partial-batch
+            # averaging (reference train.py:82-90)
+            batch, mask, n = item
+            parts, imgf = trainer.valid_step(state, batch, mask)
+        elif mode == "train":
+            batch = item
+            n = (batch[0] if isinstance(batch, (tuple, list))
+                 else batch).shape[0]
             state, parts, imgf = trainer.train_step(state, batch)
         else:
+            batch = item
+            n = (batch[0] if isinstance(batch, (tuple, list))
+                 else batch).shape[0]
             parts, imgf = trainer.valid_step(state, batch)
         last = (batch, imgf)
 
-        n = (batch[0] if isinstance(batch, (tuple, list))
-             else batch).shape[0]
         contrib = parts["loss"] * n       # lazy, stays on device
         loss_sum = contrib if loss_sum is None else loss_sum + contrib
         n_total += n
@@ -156,16 +166,19 @@ def main(argv=None):
     train_feeder = Feeder(train_set, args.bs, shuffle=True, drop_last=True,
                           sharding=sharding, seed=args.seed)
     # valid keeps the final partial batch (reference DataLoader default);
-    # train drops it so the jit'd step keeps one static shape
+    # train drops it so the jit'd step keeps one static shape. with_mask
+    # excludes wrap-padded duplicates from the valid loss average.
     valid_feeder = Feeder(valid_set, args.bs, shuffle=False,
-                          drop_last=False, sharding=sharding)
+                          drop_last=False, sharding=sharding,
+                          with_mask=True)
     logger.info(f"train iters/epoch: {len(train_feeder)}, "
                 f"valid iters/epoch: {len(valid_feeder)}")
 
     model_cfg = parse_model_cfg(args.model_cfg)
     model = create_model(args.model, **model_cfg)
     schedule = make_lr_schedule(args.lr, len(train_feeder), args.epoch,
-                                warmup=args.warmup)
+                                warmup=args.warmup,
+                                warmup_method=args.warmup_method)
     bundle = make_loss_bundle(args.ssim_mode, args.ssim_weight,
                               args.pixel_mode, args.pixel_weight,
                               args.grad_mode, args.grad_weight)
@@ -178,7 +191,7 @@ def main(argv=None):
                       clip_grad=5.0 if args.clip_grad else None, mesh=mesh,
                       ae=args.ae)
 
-    sample = next(iter(valid_feeder))
+    sample = next(iter(valid_feeder))[0]
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
 
     start_epoch = 0
@@ -229,6 +242,15 @@ def main(argv=None):
     meta = {"model": args.model, "data": args.data,
             "model_cfg": model_cfg}
     best_epoch, best_loss = 0, 0.0
+    # epochs actually finished — the finally block stamps this (NOT
+    # args.epoch) into epoch_last.ckpt so that --resume after a crash or
+    # interrupt restarts from the right place instead of silently no-oping
+    last_completed_epoch = start_epoch
+    # donation-proof snapshot for the crash save: train_step donates its
+    # input state, so an interrupt mid-step leaves `state` pointing at
+    # deleted device buffers — keep a host copy from the last epoch
+    # boundary to fall back on
+    last_good_state = None
     try:
         for epoch in range(start_epoch, args.epoch):
             if args.profile and epoch == start_epoch:
@@ -255,6 +277,8 @@ def main(argv=None):
             writer.add_scalar("lr", lr_now, epoch)
             logger.info(f"epoch: {epoch + 1:0>2}, train loss: "
                         f"{train_loss:.4f}, valid loss: {valid_loss:.4f}\n")
+            last_completed_epoch = epoch + 1
+            last_good_state = jax.device_get(state)
 
             # best-checkpoint gate: reference train.py:362-371
             if epoch < args.epoch // 2:
@@ -266,8 +290,18 @@ def main(argv=None):
                                 {**meta, "epoch": best_epoch,
                                  "valid_loss": best_loss})
     finally:
-        save_checkpoint(os.path.join(ckpt_dir, "epoch_last.ckpt"), state,
-                        {**meta, "epoch": args.epoch})
+        last_meta = {**meta, "epoch": last_completed_epoch}
+        last_path = os.path.join(ckpt_dir, "epoch_last.ckpt")
+        try:
+            save_checkpoint(last_path, state, last_meta)
+        except RuntimeError:
+            # state buffers were donated into an interrupted train_step —
+            # save the last epoch-boundary snapshot instead
+            if last_good_state is not None:
+                save_checkpoint(last_path, last_good_state, last_meta)
+            else:
+                logger.info("interrupted before the first epoch finished; "
+                            "no epoch_last.ckpt written")
         writer.close()
         logger.info(f"training model done, best loss: {best_loss:.4f} "
                     f"in epoch: {best_epoch}")

@@ -45,13 +45,15 @@ class Feeder:
                  drop_last=False,
                  sharding=None,
                  seed=0,
-                 prefetch=2):
+                 prefetch=2,
+                 with_mask=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.sharding = sharding
         self.prefetch = prefetch
+        self.with_mask = with_mask
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -76,6 +78,7 @@ class Feeder:
             ndev = int(self.sharding.mesh.size)
         for i in range(0, stop, self.batch_size):
             take = idx[i:i + self.batch_size]
+            n_true = len(take)
             if len(take) % ndev:
                 # wrap-pad the final partial batch to a device multiple
                 # (torch DistributedSampler semantics); np.resize repeats
@@ -83,21 +86,32 @@ class Feeder:
                 pad = ndev - len(take) % ndev
                 take = np.resize(take, len(take) + pad)
             items = [self.dataset[int(j)] for j in take]
-            yield _to_batch(items)
+            batch = _to_batch(items)
+            if self.with_mask:
+                mask = np.zeros((len(take),), np.float32)
+                mask[:n_true] = 1.0
+                yield batch, mask, n_true
+            else:
+                yield batch
 
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        def place(batch):
+            if self.sharding is not None:
+                return jax.tree.map(
+                    lambda x: jax.device_put(x, self.sharding), batch)
+            return jax.tree.map(jax.device_put, batch)
+
         def produce():
             try:
-                for batch in self._batches():
-                    if self.sharding is not None:
-                        batch = jax.tree.map(
-                            lambda x: jax.device_put(x, self.sharding), batch)
+                for item in self._batches():
+                    if self.with_mask:
+                        batch, mask, n_true = item
+                        q.put((place((batch, mask))) + (n_true,))
                     else:
-                        batch = jax.tree.map(jax.device_put, batch)
-                    q.put(batch)
+                        q.put(place(item))
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:

@@ -58,8 +58,20 @@ class _FusionModel(nn.Module):
     def __call__(self, img1, img2=None, train=False):
         if img2 is None:
             return self.decoder(self.encoder(img1, train), train)
-        feat1 = self.encoder(img1, train)
-        feat2 = self.encoder(img2, train)
+        if not train:
+            # siamese fold: the two shared-weight encoder passes run as ONE
+            # pass on a batch-concatenated input — same math, half the conv
+            # dispatches (the reference calls encode twice, model.py:43-63).
+            # Only in eval mode: train-mode batch-norm stats would change
+            # from being computed over the concatenated batch.
+            n = img1.shape[0]
+            feats = self.encoder(jnp.concatenate([img1, img2], axis=0),
+                                 train)
+            feat1 = jax.tree.map(lambda f: f[:n], feats)
+            feat2 = jax.tree.map(lambda f: f[n:], feats)
+        else:
+            feat1 = self.encoder(img1, train)
+            feat2 = self.encoder(img2, train)
         fused = self.fusion(feat1, feat2)
         return self.decoder(fused, train)
 

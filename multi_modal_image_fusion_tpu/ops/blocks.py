@@ -246,18 +246,22 @@ class Attention(nn.Module):
         q = ConvLayer(att_dim, ksize=1, use_bias=self.qkv_bias,
                       norm=self.norm, act=self.act, name="q")(x, train)
 
-        if sr > 1:
-            if self.down_mode == "stride":
-                x_pool = ConvLayer(in_ch, ksize=sr, stride=sr, padding=0,
-                                   groups=in_ch, use_bias=False,
-                                   norm=self.norm, act=self.act,
-                                   name="pool")(x, train)
-            elif self.down_mode == "avgpool":
-                x_pool = avg_pool(x, sr, sr)
-            else:
-                raise ValueError(self.down_mode)
+        if self.down_mode == "stride":
+            # the reference constructs self.pool unconditionally in
+            # 'stride' mode but only calls it when sr > 1
+            # (block.py:403-413, 422) — materialize its params either way
+            # for count/checkpoint parity; at sr == 1 the output is unused
+            # and XLA DCEs the compute
+            x_pool = ConvLayer(in_ch, ksize=sr, stride=sr, padding=0,
+                               groups=in_ch, use_bias=False,
+                               norm=self.norm, act=self.act,
+                               name="pool")(x, train)
+            if sr == 1:
+                x_pool = x
+        elif self.down_mode == "avgpool":
+            x_pool = avg_pool(x, sr, sr) if sr > 1 else x
         else:
-            x_pool = x
+            raise ValueError(self.down_mode)
 
         k = ConvLayer(att_dim, ksize=1, use_bias=self.qkv_bias,
                       norm=self.norm, act=self.act, name="k")(x_pool, train)

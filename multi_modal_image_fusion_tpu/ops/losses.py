@@ -25,6 +25,18 @@ __all__ = [
 eps = 1e-7
 
 
+def _wmean(per_sample, mask):
+    """Mean of a per-sample vector, optionally weighted by a 0/1 batch mask.
+
+    With a mask, padded samples (the Feeder wrap-pads final partial batches
+    to a device multiple) drop out of the average, so the valid loss equals
+    the reference's exact partial-batch mean (reference train.py:82-90)."""
+    if mask is None:
+        return per_sample.mean()
+    mask = mask.astype(per_sample.dtype)
+    return (per_sample * mask).sum() / jnp.clip(mask.sum(), 1.0, None)
+
+
 # ---------------------------------------------------------------------------
 # SSIM family (reference loss.py:52-160)
 # ---------------------------------------------------------------------------
@@ -119,15 +131,18 @@ class MSW_SSIM:
             for ws in win_sizes
         ]
 
-    def __call__(self, img1, img2, imgf):
+    def __call__(self, img1, img2, imgf, mask=None):
         ssim = 0.0
         for ssim_fn in self.ssim_fns:
             out1 = ssim_fn(img1, imgf)
             out2 = ssim_fn(img2, imgf)
             gamma = out1["sigma"] / jnp.clip(out1["sigma"] + out2["sigma"],
                                              eps, None)
-            ssim += (gamma * out1["ssim"]).mean() + \
-                ((1.0 - gamma) * out2["ssim"]).mean()
+            # size_average=False: per-pixel maps — reduce to per-sample
+            # before the (masked) batch mean
+            v1 = (gamma * out1["ssim"]).mean(axis=(1, 2, 3))
+            v2 = ((1.0 - gamma) * out2["ssim"]).mean(axis=(1, 2, 3))
+            ssim += _wmean(v1, mask) + _wmean(v2, mask)
         return ssim / len(self.win_sizes)
 
 
@@ -143,26 +158,27 @@ class SSIMLoss:
         self.use_padding = use_padding
         self.weight = weight
 
-    def __call__(self, img1, img2, imgf):
+    def __call__(self, img1, img2, imgf, mask=None):
         if self.mode == "ssim":
             fn = SSIM(11, self.data_range, self.use_padding)
-            loss = (fn(img1, imgf)["ssim"].mean() +
-                    fn(img2, imgf)["ssim"].mean()) * 0.5
+            loss = (_wmean(fn(img1, imgf)["ssim"], mask) +
+                    _wmean(fn(img2, imgf)["ssim"], mask)) * 0.5
         elif self.mode == "w-ssim":
             fn = SSIM(11, self.data_range, self.use_padding)
             out1 = fn(img1, imgf)
             out2 = fn(img2, imgf)
             gamma = out1["sigma"] / jnp.clip(out1["sigma"] + out2["sigma"],
                                              eps, None)
-            loss = (gamma * out1["ssim"]).mean() + \
-                ((1.0 - gamma) * out2["ssim"]).mean()
+            loss = _wmean(gamma * out1["ssim"], mask) + \
+                _wmean((1.0 - gamma) * out2["ssim"], mask)
         elif self.mode == "ms-ssim":
             fn = MS_SSIM(11, self.data_range, self.use_padding)
-            loss = (fn(img1, imgf).mean() + fn(img2, imgf).mean()) * 0.5
+            loss = (_wmean(fn(img1, imgf), mask) +
+                    _wmean(fn(img2, imgf), mask)) * 0.5
         elif self.mode == "msw-ssim":
             fn = MSW_SSIM((11, 9, 7, 5, 3), self.data_range,
                           self.use_padding)
-            loss = fn(img1, img2, imgf)
+            loss = fn(img1, img2, imgf, mask)
         return self.weight * (1.0 - loss)
 
 
@@ -177,12 +193,14 @@ class NormLoss:
         self.mode = mode
         self.weight = weight
 
-    def __call__(self, x):
-        if self.mode == "l1":
-            loss = jnp.abs(x).mean()
-        else:
-            loss = (x * x).mean()
-        return self.weight * loss
+    def __call__(self, x, mask=None):
+        v = jnp.abs(x) if self.mode == "l1" else x * x
+        if mask is None:
+            return self.weight * v.mean()
+        # per-sample spatial mean, then masked batch mean (all samples
+        # share a shape, so the unmasked path is identical to v.mean())
+        return self.weight * _wmean(v.mean(axis=tuple(range(1, v.ndim))),
+                                    mask)
 
 
 class PixelLoss:
@@ -191,12 +209,12 @@ class PixelLoss:
     def __init__(self, mode="l1", weight=1.0):
         self.loss_fn = NormLoss(mode, weight)
 
-    def __call__(self, img1, img2, imgf, mode="avg"):
+    def __call__(self, img1, img2, imgf, mode="avg", mask=None):
         if mode == "avg":
-            return (self.loss_fn(imgf - img1) +
-                    self.loss_fn(imgf - img2)) * 0.5
+            return (self.loss_fn(imgf - img1, mask) +
+                    self.loss_fn(imgf - img2, mask)) * 0.5
         elif mode == "max":
-            return self.loss_fn(imgf - jnp.maximum(img1, img2))
+            return self.loss_fn(imgf - jnp.maximum(img1, img2), mask)
         raise ValueError(mode)
 
 
@@ -235,14 +253,15 @@ class GradLoss:
     def __init__(self, mode="l1", weight=1.0):
         self.loss_fn = NormLoss(mode, weight)
 
-    def __call__(self, img1, img2, imgf, mode="avg"):
+    def __call__(self, img1, img2, imgf, mode="avg", mask=None):
         g1 = sobel_grad(img1)
         g2 = sobel_grad(img2)
         gf = sobel_grad(imgf)
         if mode == "avg":
-            return (self.loss_fn(gf - g1) + self.loss_fn(gf - g2)) * 0.5
+            return (self.loss_fn(gf - g1, mask) +
+                    self.loss_fn(gf - g2, mask)) * 0.5
         elif mode == "max":
-            return self.loss_fn(gf - jnp.maximum(g1, g2))
+            return self.loss_fn(gf - jnp.maximum(g1, g2), mask)
         raise ValueError(mode)
 
 

@@ -42,10 +42,10 @@ def make_loss_bundle(ssim_mode="ssim", ssim_weight=1.0,
     loss_fn2 = PixelLoss(pixel_mode, weight=pixel_weight)
     loss_fn3 = GradLoss(grad_mode, weight=grad_weight)
 
-    def bundle(img1, img2, imgf):
-        l1 = loss_fn1(img1, img2, imgf)
-        l2 = loss_fn2(img1, img2, imgf, mode=pixel_grad_mode)
-        l3 = loss_fn3(img1, img2, imgf, mode=pixel_grad_mode)
+    def bundle(img1, img2, imgf, mask=None):
+        l1 = loss_fn1(img1, img2, imgf, mask=mask)
+        l2 = loss_fn2(img1, img2, imgf, mode=pixel_grad_mode, mask=mask)
+        l3 = loss_fn3(img1, img2, imgf, mode=pixel_grad_mode, mask=mask)
         total = l1 + l2 + l3
         return total, {"loss": total, "loss1": l1, "loss2": l2, "loss3": l3}
 
@@ -129,17 +129,23 @@ class Trainer:
                               batch_stats=new_stats, opt_state=opt_state)
         return state, parts, imgf
 
-    def _valid_step_impl(self, state, img1, img2):
+    def _valid_step_impl(self, state, img1, img2, mask):
         tgt2 = img1 if img2 is None else img2
         imgf, _ = self._apply(state.params, state.batch_stats, img1, img2,
                               train=False)
-        _, parts = self.loss_bundle(img1, tgt2, imgf)
+        try:
+            _, parts = self.loss_bundle(img1, tgt2, imgf, mask=mask)
+        except TypeError:   # custom bundle without mask support
+            _, parts = self.loss_bundle(img1, tgt2, imgf)
         return parts, imgf
 
     def train_step(self, state, batch):
         img1, img2 = self._unpack(batch)
         return self._train_step(state, img1, img2)
 
-    def valid_step(self, state, batch):
+    def valid_step(self, state, batch, mask=None):
+        """mask: optional (N,) 0/1 array excluding wrap-padded samples from
+        the loss average (exact partial-batch semantics, reference
+        train.py:82-90)."""
         img1, img2 = self._unpack(batch)
-        return self._valid_step(state, img1, img2)
+        return self._valid_step(state, img1, img2, mask)

@@ -117,6 +117,107 @@ def _res2_block(t, key, scale):
     return out
 
 
+def _j(key, sub):
+    """Join torch module path segments ('' prefix for standalone blocks)."""
+    return f"{key}.{sub}" if key else sub
+
+
+def _sep_block(t, key):
+    """SepConvBlock: pwconv1/dwconv/pwconv2 (+shortcut, +attention pwconv),
+    reference block.py:154-227."""
+    out = {
+        "pwconv1": _conv(t, _j(key, "pwconv1")),
+        "dwconv": _conv(t, _j(key, "dwconv")),
+        "pwconv2": _conv(t, _j(key, "pwconv2")),
+    }
+    if t.has(_j(key, "shortcut.layers.0.weight")):
+        out["shortcut"] = _conv(t, _j(key, "shortcut"))
+    if t.has(_j(key, "pwconv.layers.0.weight")):
+        out["pwconv"] = _conv(t, _j(key, "pwconv"))
+    return out
+
+
+def _attention(t, key):
+    """PVT SR-MHSA (reference block.py:355-434): q/k/v/proj 1x1 ConvLayers
+    + the unconditionally-constructed stride pool."""
+    out = {n: _conv(t, _j(key, n)) for n in ("q", "k", "v", "proj")}
+    if t.has(_j(key, "pool.layers.0.weight")):
+        out["pool"] = _conv(t, _j(key, "pool"))
+    return out
+
+
+def _ffn(t, key):
+    """Conv-FFN (reference block.py:437-457): layers.{0,1,2} -> pw1/dw/pw2."""
+    return {"pw1": _conv(t, _j(key, "layers.0")),
+            "dw": _conv(t, _j(key, "layers.1")),
+            "pw2": _conv(t, _j(key, "layers.2"))}
+
+
+def _standalone_norm(t, key, stats=None, stats_path=None):
+    """A bare norm module (MetaFormer norm1/norm2): torch LayerNorm
+    (weight (C,1,1) [+bias]) or BatchNorm2d -> flax scale/bias
+    (+batch_stats)."""
+    out = {"scale": np.asarray(t.take(f"{key}.weight")).reshape(-1)}
+    if t.has(f"{key}.bias"):
+        out["bias"] = np.asarray(t.take(f"{key}.bias")).reshape(-1)
+    rm = f"{key}.running_mean"
+    if t.has(rm):
+        assert stats is not None and stats_path is not None
+        d = stats
+        for p in stats_path[:-1]:
+            d = d.setdefault(p, {})
+        d[stats_path[-1]] = {"mean": t.take(rm),
+                             "var": t.take(f"{key}.running_var")}
+    return out
+
+
+_FORMER_MIXERS = {
+    "conv_former": ("sep", _sep_block),
+    "mix_former": ("mix", lambda t, k: _res2_block(t, k, 4)),
+    "res2_former": ("res2", lambda t, k: _res2_block(t, k, 4)),
+    "transformer": ("attn", _attention),
+    "metaformer": (None, None),
+}
+
+
+def convert_block(block_name, torch_sd):
+    """Convert a standalone reference block's state_dict to flax variables.
+
+    Supported: 'attention', 'sep', 'mix', 'res2', 'ffn', and the MetaFormer
+    family ('metaformer' identity mixer, 'conv_former', 'mix_former',
+    'res2_former', 'transformer'). Used by the block-parity tests and by
+    MyFusion checkpoint conversion."""
+    t = _Taker(torch_sd)
+    stats = {}
+    name = block_name.lower()
+    if name == "attention":
+        p = _attention(t, "")
+    elif name == "sep":
+        p = _sep_block(t, "")
+    elif name == "ffn":
+        p = _ffn(t, "")
+    elif name in _FORMER_MIXERS:
+        _, mixer_fn = _FORMER_MIXERS[name]
+        p = {
+            "norm1": _standalone_norm(t, "norm1", stats, ["norm1"]),
+            "norm2": _standalone_norm(t, "norm2", stats, ["norm2"]),
+            "ffn": _ffn(t, "ffn"),
+        }
+        if mixer_fn is not None:
+            p["token_mixer"] = mixer_fn(t, "token_mixer")
+        for s in ("layer_scale1", "res_scale1", "layer_scale2",
+                  "res_scale2"):
+            if t.has(f"{s}.scale"):
+                p[s] = {"scale": t.take(f"{s}.scale")}
+    else:
+        raise ValueError(f"unsupported block {block_name!r}")
+    t.done()
+    out = {"params": p}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
 def _nest_decoder(t, key, block_fn):
     names = ["DB1_1", "DB2_1", "DB3_1", "DB1_2", "DB2_2", "DB1_3"]
     return {n: block_fn(t, f"{key}.{n}") for n in names}

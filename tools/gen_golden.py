@@ -315,3 +315,122 @@ def gen_edge_cases():
 
 if __name__ == "__main__" and os.environ.get("GOLDEN_EDGE"):
     gen_edge_cases()
+
+
+def gen_model_forward():
+    """Forward-parity fixtures for the 15 fixed zoo models (VERDICT.md item
+    3): synthetic deterministic weights (tests/param_synth.py) loaded into
+    the reference models, outputs recorded in fusion + AE modes at 64x64
+    and at an odd 45x61 size (exercising the shape-safe resample paths,
+    reference block.py:941-991). MyFusion is covered separately
+    (GOLDEN_MYFUSION)."""
+    import json
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from param_synth import synth_value
+
+    from core import model as RM
+
+    names = ["PFNetv1", "PFNetv2", "DeepFuse", "DenseFuse", "VIFNet",
+             "DBNet", "SEDRFuse", "NestFuse", "RFNNest", "UNFusion",
+             "Res2Fusion", "MAFusion", "IFCNN", "DIFNet", "PMGI"]
+    r = np.random.RandomState(1234)
+    x1 = torch.tensor(r.rand(2, 1, 64, 64), dtype=torch.float32)
+    x2 = torch.tensor(r.rand(2, 1, 64, 64), dtype=torch.float32)
+    x1o = torch.tensor(r.rand(1, 1, 45, 61), dtype=torch.float32)
+    x2o = torch.tensor(r.rand(1, 1, 45, 61), dtype=torch.float32)
+
+    for name in names:
+        m = getattr(RM, name)().eval()
+        sd = m.state_dict()
+        synth = {k: torch.tensor(synth_value(k, tuple(v.shape)))
+                 for k, v in sd.items()}
+        m.load_state_dict(synth)
+        out = {
+            "x1": t2n(x1), "x2": t2n(x2), "x1o": t2n(x1o), "x2o": t2n(x2o),
+            "keyshapes": np.frombuffer(json.dumps(
+                {k: list(v.shape) for k, v in sd.items()}).encode(),
+                dtype=np.uint8),
+        }
+        with torch.no_grad():
+            out["y"] = t2n(m(x1, x2))
+            try:
+                out["y_odd"] = t2n(m(x1o, x2o))
+            except RuntimeError:
+                pass   # the reference itself rejects odd sizes here
+                       # (e.g. SEDRFuse: stride-2 down + transpose-up skip
+                       # shapes mismatch at 45x61)
+            try:
+                out["y_ae"] = t2n(m(x1))
+            except TypeError:
+                pass   # PFNetv1/PMGI require both inputs
+            except RuntimeError:
+                pass   # concat-fusion decoders (VIFNet...) cannot run AE
+        save(f"model_fwd_{name.lower()}", **out)
+
+
+if __name__ == "__main__" and os.environ.get("GOLDEN_FWD"):
+    gen_model_forward()
+
+
+def gen_blocks():
+    """Block-level forward-parity fixtures for Attention + the MetaFormer
+    family (VERDICT.md round-2 weak item 3: these numerics were never
+    compared to torch). Synthetic deterministic weights via
+    tests/param_synth; stored: input, output, key->shape table."""
+    import json
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from param_synth import synth_value
+
+    from core import block as RB
+
+    r = np.random.RandomState(77)
+
+    def x(b, c, h, w):
+        return torch.tensor(r.rand(b, c, h, w), dtype=torch.float32)
+
+    cases = {
+        # in_ch 32 -> heads 2, sr 8 (stride pool); 64 -> heads 4, sr 4;
+        # 256 -> sr 1 (pool constructed but bypassed, block.py:422)
+        "attn32": (lambda: RB.Attention(32, 32), x(2, 32, 24, 24)),
+        "attn64_bias": (lambda: RB.Attention(64, 64, qkv_bias=True,
+                                             proj_bias=True),
+                        x(2, 64, 16, 16)),
+        "attn256_sr1": (lambda: RB.Attention(256, 256), x(1, 256, 8, 8)),
+        "attn32_avgpool": (lambda: RB.Attention(32, 32,
+                                                down_mode='avgpool'),
+                           x(2, 32, 24, 24)),
+        "conv_former": (lambda: RB.ConvFormerBlock(32, 32),
+                        x(2, 32, 24, 24)),
+        "mix_former": (lambda: RB.MixFormerBlock(32, 32), x(2, 32, 24, 24)),
+        "res2_former": (lambda: RB.Res2FormerBlock(32, 32),
+                        x(2, 32, 24, 24)),
+        "transformer": (lambda: RB.TransformerBlock(32, 32),
+                        x(2, 32, 24, 24)),
+        # default MetaFormer skeleton: identity mixer, channel LayerNorm,
+        # learned layer/res scales
+        "metaformer_scales": (lambda: RB.MetaFormerBlock(32, 32,
+                                                         layer_scale=0.5,
+                                                         res_scale=2.0),
+                              x(2, 32, 24, 24)),
+    }
+
+    for name, (ctor, xin) in cases.items():
+        m = ctor().eval()
+        sd = m.state_dict()
+        synth = {k: torch.tensor(synth_value(k, tuple(v.shape)))
+                 for k, v in sd.items()}
+        m.load_state_dict(synth)
+        with torch.no_grad():
+            y = m(xin)
+        save(f"block_{name}", x=t2n(xin), y=t2n(y),
+             keyshapes=np.frombuffer(json.dumps(
+                 {k: list(v.shape) for k, v in sd.items()}).encode(),
+                 dtype=np.uint8))
+
+
+if __name__ == "__main__" and os.environ.get("GOLDEN_BLOCKS"):
+    gen_blocks()

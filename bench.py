@@ -18,6 +18,12 @@ docs/PERFORMANCE.md "Benchmark protocol"):
 Prints ONE JSON line:
   {"metric": "fusion_throughput_pairs_per_sec", "value": N,
    "unit": "pairs/s", "vs_baseline": N / 2000}
+
+BENCH_MODE=train switches to the training benchmark instead (the
+reference's hot loop, train.py:37-133): full jit'd train steps — forward +
+3-loss bundle + backward + grad-clip + adam — at the reference default
+config (DeepFuse, bs 16, 64x64 patches, SSIM+pixel+grad losses), same
+honest timing protocol, reporting steps/s and patch-pairs/s.
 """
 
 import functools
@@ -90,5 +96,66 @@ def main():
     }))
 
 
+def main_train():
+    os.environ.setdefault("MMIF_COMPILE_CACHE",
+                          os.path.expanduser("~/.cache/mmif_xla_cache"))
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.train.schedules import make_lr_schedule
+    from multi_modal_image_fusion_tpu.train.trainer import Trainer
+    from multi_modal_image_fusion_tpu.utils.compile_cache import \
+        enable_compilation_cache
+
+    enable_compilation_cache()
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    size = int(os.environ.get("BENCH_PATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "50" if on_tpu else "3"))
+    model_name = os.environ.get("BENCH_MODEL", "deepfuse")
+
+    model = create_model(model_name)
+    schedule = make_lr_schedule(1e-4, steps_per_epoch=1000, num_epochs=12)
+    trainer = Trainer(model, schedule)
+
+    r = np.random.RandomState(0)
+    img1 = jnp.asarray(r.rand(batch, size, size, 1), jnp.float32)
+    img2 = jnp.asarray(r.rand(batch, size, size, 1), jnp.float32)
+    state = trainer.init_state(jax.random.PRNGKey(0), (img1, img2))
+
+    # n chained train steps inside ONE jit: each step consumes the previous
+    # state (serial by construction, DCE-proof — the updated params feed the
+    # next forward), timed region closed by a param-scalar fetch.
+    @functools.partial(jax.jit, static_argnames="n")
+    def bench_loop(state, a, b, n):
+        def body(i, st):
+            return trainer._train_step_impl(st, a, b)[0]
+        return jax.lax.fori_loop(0, n, body, state)
+
+    out = bench_loop(state, img1, img2, iters)       # compile + warmup
+    float(jax.tree.leaves(out.params)[0].reshape(-1)[0])
+
+    img1 = jnp.asarray(r.rand(batch, size, size, 1), jnp.float32)
+    jax.block_until_ready(img1)
+    start = time.perf_counter()
+    out = bench_loop(state, img1, img2, iters)
+    float(jax.tree.leaves(out.params)[0].reshape(-1)[0])
+    elapsed = time.perf_counter() - start
+
+    steps_per_sec = iters / elapsed
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "pairs_per_sec": round(steps_per_sec * batch, 1),
+        "config": f"{model_name} bs{batch} {size}x{size}",
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "train":
+        main_train()
+    else:
+        main()

@@ -47,8 +47,11 @@ def _pallas_conv_eligible(in_ch, ksize, stride, groups, dilation,
         return False
     if jax.default_backend() != "tpu":
         return False
+    # in_ch >= 1: even the 1-channel stem conv measured faster through the
+    # kernel (10.6 vs 16.4 ms at b16 full-res) — both are latency-bound,
+    # but XLA's c_in=1 lowering is worse (docs/PERFORMANCE.md round 2)
     return (not transpose and stride == 1 and groups == 1 and dilation == 1
-            and ksize in (3, 5, 7) and in_ch >= 8)
+            and ksize in (3, 5, 7))
 
 # ---------------------------------------------------------------------------
 # activations
@@ -62,6 +65,10 @@ def relu6(x):
 def hardswish(x):
     return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
 
+
+# activations the Pallas conv kernel can apply in its staging epilogue
+# (ops/pallas/conv_kernel._apply_act)
+_FUSABLE_ACTS = ("relu", "relu6", "lrelu", "tanh")
 
 ACTS = {
     "relu": jax.nn.relu,
@@ -230,18 +237,27 @@ class ConvLayer(nn.Module):
                        (self.out_ch,)) if bias else None
 
         if not self.transpose:
+            use_pallas = (_pallas_conv_eligible(in_ch, self.ksize,
+                                                self.stride, self.groups,
+                                                self.dilation, self.transpose)
+                          and pad == self.ksize // 2)
+            # bias + act fuse into the kernel epilogue when no post-norm
+            # sits between them (saves one elementwise HBM round trip)
+            fuse_ba = (use_pallas and self.norm is None
+                       and (self.act is None or self.act in _FUSABLE_ACTS))
             if pad:
                 x = pad2d(x, pad, self.pad_mode)
-            if (_pallas_conv_eligible(in_ch, self.ksize, self.stride,
-                                      self.groups, self.dilation,
-                                      self.transpose)
-                    and pad == self.ksize // 2):
+            if use_pallas:
                 from .pallas.conv_kernel import conv_tlane_dma
 
                 # rows=16 is the measured sweet spot at c<=32; larger
                 # channel counts get rows=8 to stay inside VMEM
                 y = conv_tlane_dma(x, kernel.astype(x.dtype), self.ksize,
+                                   bias=b if fuse_ba else None,
+                                   act=self.act if fuse_ba else None,
                                    rows=16 if in_ch <= 32 else 8)
+                if fuse_ba:
+                    return y
             else:
                 y = jax.lax.conv_general_dilated(
                     x,

@@ -389,10 +389,24 @@ def conv_tlane_gemm(x, w, k, rows=8, wtile=None, kw_chunk=4,
     return out[:, :h, :w_out_final, :]
 
 
-def _conv_kernel_tlane_dma(x_ref, w_ref, out_ref, t_ref, a_ref, acc_ref,
-                           stage_ref, in_sems, out_sems, *, k, rows, hsub,
-                           w_out, wp, tdma, c_in, c_out, out_dtype,
-                           kw_chunk):
+def _apply_act(y, act):
+    """Static activation epilogue (f32, before the output cast) — names
+    match ops/layers.ACTS for the ConvLayer fusion path."""
+    if act is None:
+        return y
+    if act == "relu":
+        return jnp.maximum(y, 0.0)
+    if act == "relu6":
+        return jnp.clip(y, 0.0, 6.0)
+    if act == "lrelu":
+        return jnp.where(y >= 0.0, y, 0.2 * y)
+    if act == "tanh":
+        return jnp.tanh(y)
+    raise ValueError(f"unfusable activation {act!r}")
+
+
+def _conv_kernel_tlane_dma(*refs, k, rows, hsub, w_out, wp, tdma, c_in,
+                           c_out, out_dtype, kw_chunk, has_bias, act):
     """tlane2 + in-kernel halo DMA + inner strip loop.
 
     The tlane2 host-side halo gather costs 45 ms/call at 8x1224x1024x32
@@ -406,12 +420,24 @@ def _conv_kernel_tlane_dma(x_ref, w_ref, out_ref, t_ref, a_ref, acc_ref,
 
     x_ref:     (B, c_in, Hp, wp) HBM — whole array
     w_ref:     (k*c_in, k*c_out) VMEM
+    b_ref:     (c_out, 1, 1) VMEM bias (only when has_bias)
     out_ref:   (B, c_out, Hout, w_out) HBM — whole array
     t_ref:     (2, c_in, tdma, wp) VMEM (input double buffer)
     a_ref:     (k*c_in, rows, wp)
     acc_ref:   (c_out, rows, w_out) f32
     stage_ref: (2, c_out, rows, w_out) VMEM (output double buffer)
+
+    bias + activation are fused into the staging epilogue (f32, before the
+    output cast) — saves one full elementwise HBM round trip per layer vs
+    applying them as a separate XLA op after the kernel.
     """
+    if has_bias:
+        (x_ref, w_ref, b_ref, out_ref, t_ref, a_ref, acc_ref, stage_ref,
+         in_sems, out_sems) = refs
+    else:
+        (x_ref, w_ref, out_ref, t_ref, a_ref, acc_ref, stage_ref,
+         in_sems, out_sems) = refs
+        b_ref = None
     b = pl.program_id(0)
     g = pl.program_id(1)
     h0 = g * rows * hsub
@@ -464,7 +490,10 @@ def _conv_kernel_tlane_dma(x_ref, w_ref, out_ref, t_ref, a_ref, acc_ref,
         def _():
             out_dma(slot, j - 2).wait()
 
-        stage_ref[slot] = acc_ref[:, :, :].astype(out_dtype)
+        y = acc_ref[:, :, :]
+        if has_bias:
+            y = y + b_ref[:, :, :]
+        stage_ref[slot] = _apply_act(y, act).astype(out_dtype)
         out_dma(slot, j).start()
         return carry
 
@@ -477,12 +506,15 @@ def _conv_kernel_tlane_dma(x_ref, w_ref, out_ref, t_ref, a_ref, acc_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "interpret", "hsub", "kw_chunk",
-                                    "rows"))
-def conv_tlane_dma(x, w, k, hsub=None, kw_chunk=7, rows=8, interpret=False):
+                                    "rows", "act"))
+def conv_tlane_dma(x, w, k, bias=None, act=None, hsub=None, kw_chunk=7,
+                   rows=8, interpret=False):
     """DMA-fed big-M transposed-layout conv (the production round-2 kernel).
 
     Same contract as conv_shifted_gemm: x (B, H+k-1, W+k-1, C_in)
     pre-padded NHWC, w (k, k, C_in, C_out) HWIO -> (B, H, W, C_out).
+    bias (C_out,) and act (name from ops/layers.ACTS: relu/relu6/lrelu/tanh)
+    are fused into the kernel's staging epilogue when given.
     hsub = strips per program (None: all of H in one program per batch);
     rows = strip height, must be a multiple of 8 (HBM slice offsets/sizes
     are 8-sublane aligned)."""
@@ -511,19 +543,24 @@ def conv_tlane_dma(x, w, k, hsub=None, kw_chunk=7, rows=8, interpret=False):
     kern = functools.partial(
         _conv_kernel_tlane_dma, k=k, rows=rows, hsub=hsub, w_out=w_out128,
         wp=wp, tdma=tdma, c_in=c_in, c_out=c_out, out_dtype=x.dtype,
-        kw_chunk=kw_chunk)
+        kw_chunk=kw_chunk, has_bias=bias is not None, act=act)
+    operands = [xt, wm]
+    in_specs = [
+        # whole input stays in HBM: strips are DMA'd in-kernel
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        # weights: whole array resident in VMEM (unblocked — a blocked
+        # spec makes the pipeline stage the HBM output through VMEM)
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if bias is not None:
+        operands.append(jnp.asarray(bias, jnp.float32).reshape(c_out, 1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(
             (b, c_out, grid_h * strip, w_out128), x.dtype),
         grid=(b, grid_h),
-        in_specs=[
-            # whole input stays in HBM: strips are DMA'd in-kernel
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            # weights: whole array resident in VMEM (unblocked — a blocked
-            # spec makes the pipeline stage the HBM output through VMEM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, c_in, tdma, wp), x.dtype),
@@ -539,7 +576,7 @@ def conv_tlane_dma(x, w, k, hsub=None, kw_chunk=7, rows=8, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xt, wm)
+    )(*operands)
 
     # (B, c_out, H', W') -> NHWC, crop padding
     return jnp.transpose(out, (0, 2, 3, 1))[:, :h, :w_out_final, :]

@@ -129,3 +129,28 @@ def test_ilane_conv_parity():
     got = conv_shifted_gemm_ilane(x, wgt, k, rows=16, wtile=64, kw_chunk=4,
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_tlane_dma_conv_parity_fused_epilogue():
+    """The production DMA kernel with the bias+act staging epilogue
+    (small shape: interpret mode simulates the strip DMA loop)."""
+    import jax
+
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import \
+        conv_tlane_dma
+
+    r = np.random.RandomState(0)
+    k = 5
+    x = jnp.asarray(r.rand(1, 16 + k - 1, 40 + k - 1, 8), jnp.float32)
+    wgt = jnp.asarray(r.rand(k, k, 8, 8) - 0.5, jnp.float32)
+    bias = jnp.asarray(r.rand(8) - 0.5, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    got = conv_tlane_dma(x, wgt, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    got = conv_tlane_dma(x, wgt, k, bias=bias, act="relu6", interpret=True)
+    want_ba = jnp.clip(want + bias, 0.0, 6.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_ba),
+                               atol=1e-5)

@@ -169,6 +169,28 @@ class DeepFuse(_FusionModel):
             ConvLayer(1, ksize=5, act=None, name="dec2"),
         ]
 
+    def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        # NCHW-resident fast path (TPU inference): the whole forward runs
+        # in the conv kernel's guard layout — one entry/exit transpose on
+        # the 1-channel boundary instead of a pad + two transposes per
+        # layer (docs/PERFORMANCE.md round 2). Elementwise fusion modes
+        # work directly on chain tensors.
+        if (img2 is not None and not train and chain_ready()
+                and self.fusion_mode in ("sum", "mean", "max")):
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
+            for layer in self.enc:
+                t = layer(t, train=False, chain_hw=(h, w))
+            t = element_fusion(t[:n], t[n:], self.fusion_mode)
+            for layer in self.dec:
+                t = layer(t, train=False, chain_hw=(h, w))
+            return chain_exit(t, h, w)
+        return super().__call__(img1, img2, train)
+
     def encoder(self, img, train):
         for layer in self.enc:
             img = layer(img, train)
@@ -213,6 +235,23 @@ class DenseFuse(_FusionModel):
             feat = layer(feat, train)
         return feat
 
+    def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        if (img2 is not None and not train and chain_ready()
+                and self.fusion_mode == "sum"):
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
+            t = self.conv_in(t, train=False, chain_hw=(h, w))
+            t = self.dense(t, train=False, chain_hw=(h, w))
+            t = element_fusion(t[:n], t[n:], "sum")
+            for layer in self.dec:
+                t = layer(t, train=False, chain_hw=(h, w))
+            return chain_exit(t, h, w)
+        return super().__call__(img1, img2, train)
+
 
 class VIFNet(_FusionModel):
     """DenseFuse encoder, concat fusion, 5-conv decoder from 128ch."""
@@ -238,6 +277,22 @@ class VIFNet(_FusionModel):
         for layer in self.dec:
             feat = layer(feat, train)
         return feat
+
+    def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
+            t = self.conv_in(t, train=False, chain_hw=(h, w))
+            t = self.dense(t, train=False, chain_hw=(h, w))
+            t = concat_fusion((t[:n], t[n:]), axis=1)
+            for layer in self.dec:
+                t = layer(t, train=False, chain_hw=(h, w))
+            return chain_exit(t, h, w)
+        return super().__call__(img1, img2, train)
 
 
 class DBNet(_FusionModel):

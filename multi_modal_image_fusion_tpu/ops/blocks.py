@@ -57,10 +57,13 @@ class DenseBlock(nn.Module):
     num_convs: int = 3
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, chain_hw=None):
+        # chain mode: x is a guard-layout (B, C, HG, Wp) tensor, channel
+        # concat moves to axis 1 (ops/pallas/conv_kernel chain layout)
         for i in range(self.num_convs):
-            y = ConvLayer(self.out_ch, name=f"conv{i}")(x, train)
-            x = concat_fusion((x, y))
+            y = ConvLayer(self.out_ch, name=f"conv{i}")(x, train,
+                                                        chain_hw=chain_hw)
+            x = concat_fusion((x, y), axis=1 if chain_hw else -1)
         return x
 
 

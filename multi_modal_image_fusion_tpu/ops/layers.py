@@ -41,6 +41,21 @@ def fast_inference(enable=True):
         _FAST_INFERENCE.reset(token)
 
 
+def chain_ready():
+    """True when the NCHW-resident conv chain (guard layout,
+    ops/pallas/conv_kernel.conv_tlane_chain) is usable: fast-inference
+    scope on a TPU backend. Models with elementwise/concat fusion use it
+    to run their whole forward without per-layer pads/transposes.
+
+    MMIF_CHAIN_INTERPRET=1 forces the chain on any backend with the
+    kernels in interpret mode — CPU model-level parity tests only."""
+    if os.environ.get("MMIF_CHAIN_INTERPRET"):
+        return _FAST_INFERENCE.get()
+    return (_FAST_INFERENCE.get()
+            and not os.environ.get("MMIF_NO_PALLAS")
+            and jax.default_backend() == "tpu")
+
+
 def _pallas_conv_eligible(in_ch, ksize, stride, groups, dilation,
                           transpose):
     if not _FAST_INFERENCE.get() or os.environ.get("MMIF_NO_PALLAS"):
@@ -219,11 +234,44 @@ class ConvLayer(nn.Module):
     pad_mode: str = "reflect"
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, chain_hw=None):
         pad = self.ksize // 2 if self.padding is None else self.padding
         bias = self.use_bias
         if bias is None:
             bias = not (self.norm == "batch" and self.pre_norm == "batch")
+
+        if chain_hw is not None:
+            # x is a guard-layout (B, C, HG, Wp) chain tensor (see
+            # conv_kernel.conv_tlane_chain); only plain reflect-SAME convs
+            # without norms participate in chains
+            assert (self.pre_norm is None and self.norm is None
+                    and not self.transpose and self.stride == 1
+                    and self.groups == 1 and self.dilation == 1
+                    and pad == self.ksize // 2)
+            from .pallas.conv_kernel import (chain_refresh_halo,
+                                             conv_tlane_chain)
+
+            in_ch = x.shape[1]
+            kernel = self.param(
+                "kernel", kernel_init_for(self.act),
+                (self.ksize, self.ksize, in_ch, self.out_ch))
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.out_ch,)) if bias else None
+            h, w = chain_hw
+            xt = chain_refresh_halo(x, h, w, self.ksize // 2)
+            fuse_ba = self.act is None or self.act in _FUSABLE_ACTS
+            y = conv_tlane_chain(xt, kernel.astype(x.dtype), self.ksize,
+                                 h=h, w_valid=w,
+                                 bias=b if fuse_ba else None,
+                                 act=self.act if fuse_ba else None,
+                                 rows=16,
+                                 interpret=bool(
+                                     os.environ.get("MMIF_CHAIN_INTERPRET")))
+            if not fuse_ba:
+                if b is not None:
+                    y = y + b[None, :, None, None]
+                y = get_act(self.act)(y)
+            return y
 
         if self.pre_norm is not None:
             pre = make_norm(self.pre_norm, x.shape[-1], name="pre_norm")

@@ -677,3 +677,224 @@ def conv_shifted_gemm_ilane(x, w, k, rows=16, wtile=506, kw_chunk=4,
     out = jnp.moveaxis(out, 2, 3).reshape(b, grid_h * rows,
                                           grid_w * wtile, c_out)
     return out[:, :h, :w_out_final, :]
+
+
+# ---------------------------------------------------------------------------
+# Chain layout: NCHW-resident conv pipeline (round-2 transpose elimination)
+# ---------------------------------------------------------------------------
+#
+# Per-layer profile (docs/PERFORMANCE.md round 2): the NHWC wrapper around
+# conv_tlane_dma pays an XLA reflect-pad (60 GB/s effective) plus two big
+# transposes per call. Chained convs instead keep activations in a fixed
+# "guard layout":
+#
+#     (B, C, HG, Wp)   HG = GUARD + ceil(H/8)*8 + GUARD, 8-aligned strips
+#                      Wp = 128-aligned >= WG + W + guard lanes
+#     valid region     rows [GUARD, GUARD+H), lanes [WG, WG+W)
+#
+# `chain_refresh_halo` mirrors <=k//2 rows/lanes into the guard bands (4
+# tiny in-place dynamic-update-slices through XLA) and the kernel reads its
+# reflect halo straight out of the bands — no pad, no transpose, no
+# alignment copy. Entry/exit transposes happen ONCE per chain at the
+# 1-channel model boundary instead of per layer.
+
+CHAIN_GUARD = 8    # rows above/below the valid region (>= max k//2, 8-align)
+CHAIN_WG = 4       # lanes left of the valid region  (>= max k//2)
+
+
+def chain_shape(h, w):
+    """(HG, Wp) of the guard layout for a valid h x w image. The bottom
+    band is GUARD + 32 rows: strips round h up to a multiple of `rows`
+    (<= 32), and the last strip's DMA reads one extra 8-row block."""
+    hg = CHAIN_GUARD + (-(-h // 8) * 8) + CHAIN_GUARD + 32
+    wp = -(-(CHAIN_WG + w + CHAIN_WG) // 128) * 128
+    return hg, wp
+
+
+def chain_enter(x):
+    """NHWC (B, H, W, C) -> guard layout (B, C, HG, Wp), zero guards."""
+    b, h, w, c = x.shape
+    hg, wp = chain_shape(h, w)
+    xt = jnp.transpose(x, (0, 3, 1, 2))
+    out = jnp.zeros((b, c, hg, wp), x.dtype)
+    return jax.lax.dynamic_update_slice(out, xt, (0, 0, CHAIN_GUARD,
+                                                  CHAIN_WG))
+
+
+def chain_exit(xt, h, w):
+    """Guard layout -> NHWC (B, H, W, C)."""
+    sl = xt[:, :, CHAIN_GUARD:CHAIN_GUARD + h, CHAIN_WG:CHAIN_WG + w]
+    return jnp.transpose(sl, (0, 2, 3, 1))
+
+
+def chain_refresh_halo(xt, h, w, p):
+    """Mirror p rows/lanes of the valid region into the guard bands
+    (torch ReflectionPad2d semantics: row -i mirrors row i). Four small
+    dynamic-update-slices; XLA applies them in place when the buffer is
+    dead afterwards."""
+    if p == 0:
+        return xt
+    g, wg = CHAIN_GUARD, CHAIN_WG
+    top = jnp.flip(xt[:, :, g + 1:g + 1 + p, :], axis=2)
+    xt = jax.lax.dynamic_update_slice(xt, top, (0, 0, g - p, 0))
+    bot = jnp.flip(xt[:, :, g + h - 1 - p:g + h - 1, :], axis=2)
+    xt = jax.lax.dynamic_update_slice(xt, bot, (0, 0, g + h, 0))
+    left = jnp.flip(xt[:, :, :, wg + 1:wg + 1 + p], axis=3)
+    xt = jax.lax.dynamic_update_slice(xt, left, (0, 0, 0, wg - p))
+    right = jnp.flip(xt[:, :, :, wg + w - 1 - p:wg + w - 1], axis=3)
+    xt = jax.lax.dynamic_update_slice(xt, right, (0, 0, 0, wg + w))
+    return xt
+
+
+def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
+                       out_dtype, kw_chunk, has_bias, act, p_half):
+    """conv_tlane_dma's strip loop on the guard layout: the input's
+    reflect halo is already in the guard bands and the output lands at the
+    same (GUARD, WG) offset, so there is no pad, no transpose, and no crop
+    anywhere in the chain.
+
+    Output lane L = sum_kw P[kw][L + kw - p_half]; each kw contributes on
+    the lane range where that index is in [0, wp) — the shrunken edges only
+    ever touch guard lanes (|kw - p_half| <= p_half <= CHAIN_WG). kw ==
+    p_half covers the full width and goes first as the accumulator init.
+    """
+    if has_bias:
+        (x_ref, w_ref, b_ref, out_ref, t_ref, a_ref, acc_ref, stage_ref,
+         in_sems, out_sems) = refs
+    else:
+        (x_ref, w_ref, out_ref, t_ref, a_ref, acc_ref, stage_ref,
+         in_sems, out_sems) = refs
+        b_ref = None
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    h0 = g * rows * hsub
+
+    def in_dma(slot, j):
+        # input rows [GUARD + h0 + j*rows - 8, +tdma): the lead-8 block
+        # covers the p_half-row top halo and keeps every start 8-aligned
+        start = CHAIN_GUARD - 8 + h0 + j * rows
+        return pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(start, tdma), :],
+            t_ref.at[slot], in_sems.at[slot])
+
+    def out_dma(slot, j):
+        return pltpu.make_async_copy(
+            stage_ref.at[slot],
+            out_ref.at[b, :, pl.ds(CHAIN_GUARD + h0 + j * rows, rows), :],
+            out_sems.at[slot])
+
+    in_dma(0, 0).start()
+
+    # kw order: p_half first (full-width assignment), then the rest
+    kw_order = [p_half] + [kw for kw in range(k) if kw != p_half]
+
+    def strip(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < hsub)
+        def _():
+            in_dma(1 - slot, j + 1).start()
+
+        in_dma(slot, j).wait()
+
+        for kh in range(k):
+            a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
+                t_ref[slot, :, pl.ds(8 - p_half + kh, rows), :]
+        a = a_ref[:, :, :]
+        for i0 in range(0, k, kw_chunk):
+            kws = kw_order[i0:i0 + kw_chunk]
+            # w_ref columns are pre-permuted into kw_order, so each chunk's
+            # column block is contiguous
+            p = jax.lax.dot_general(
+                w_ref[:, i0 * c_out:(i0 + len(kws)) * c_out], a,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for jj, kw in enumerate(kws):
+                sh = kw - p_half            # P lane L+sh feeds out lane L
+                a0 = max(0, -sh)            # acc lane start
+                b0 = max(0, sh)             # P lane start
+                ln = wp - abs(sh)
+                term = p[jj * c_out:(jj + 1) * c_out, :, b0:b0 + ln]
+                if kw == p_half:            # sh == 0: full width, inits acc
+                    acc_ref[:, :, :] = term
+                else:
+                    acc_ref[:, :, a0:a0 + ln] += term
+
+        @pl.when(j >= 2)
+        def _():
+            out_dma(slot, j - 2).wait()
+
+        y = acc_ref[:, :, :]
+        if has_bias:
+            y = y + b_ref[:, :, :]
+        stage_ref[slot] = _apply_act(y, act).astype(out_dtype)
+        out_dma(slot, j).start()
+        return carry
+
+    jax.lax.fori_loop(0, hsub, strip, 0)
+    for tail in (hsub - 2, hsub - 1):
+        if tail >= 0:
+            out_dma(tail % 2, tail).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "h", "w_valid", "interpret",
+                                    "hsub", "kw_chunk", "rows", "act"))
+def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
+                     hsub=None, kw_chunk=7, rows=16, interpret=False):
+    """Guard-layout conv: xt (B, C_in, HG, Wp) with valid region
+    (h, w_valid) at (CHAIN_GUARD, CHAIN_WG) and halos ALREADY mirrored into
+    the bands (chain_refresh_halo) -> (B, C_out, HG, Wp), same geometry.
+    w is HWIO (k, k, C_in, C_out); bias/act as in conv_tlane_dma."""
+    w_arg = w
+    b, c_in, hg, wp = xt.shape
+    c_out = w_arg.shape[-1]
+    p_half = k // 2
+    assert p_half <= CHAIN_WG and p_half <= CHAIN_GUARD
+    assert rows % 8 == 0
+    h8 = -(-h // 8) * 8
+    if hsub is None:
+        hsub = -(-h8 // rows)
+    strip = rows * hsub
+    grid_h = -(-h8 // strip)
+    tdma = -(-(8 + rows + p_half) // 8) * 8
+    # strips overrun into the bottom guard (output writes up to
+    # grid_h*strip rows; the last in-DMA reads tdma - rows - 8 further)
+    assert CHAIN_GUARD + grid_h * strip + (tdma - rows - 8) <= hg, \
+        (grid_h, strip, tdma, hg)
+
+    # weights -> [(kh, c), (kw', n)] with kw' in kw_order (p_half first)
+    kw_order = [p_half] + [kw for kw in range(k) if kw != p_half]
+    wm = jnp.transpose(w_arg, (0, 2, 1, 3)).reshape(k * c_in, k, c_out)
+    wm = jnp.concatenate([wm[:, kw] for kw in kw_order], axis=-1)
+    wm = wm.astype(xt.dtype)
+
+    kern = functools.partial(
+        _conv_kernel_chain, k=k, rows=rows, hsub=hsub, wp=wp, tdma=tdma,
+        c_in=c_in, c_out=c_out, out_dtype=xt.dtype, kw_chunk=kw_chunk,
+        has_bias=bias is not None, act=act, p_half=p_half)
+    operands = [xt, wm]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if bias is not None:
+        operands.append(jnp.asarray(bias, jnp.float32).reshape(c_out, 1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, c_out, hg, wp), xt.dtype),
+        grid=(b, grid_h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, c_in, tdma, wp), xt.dtype),
+            pltpu.VMEM((k * c_in, rows, wp), xt.dtype),
+            pltpu.VMEM((c_out, rows, wp), jnp.float32),
+            pltpu.VMEM((2, c_out, rows, wp), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out

@@ -154,3 +154,55 @@ def test_tlane_dma_conv_parity_fused_epilogue():
     want_ba = jnp.clip(want + bias, 0.0, 6.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want_ba),
                                atol=1e-5)
+
+
+def test_chain_conv_parity():
+    """Guard-layout chain conv (NCHW-resident pipeline): reflect-SAME
+    semantics via guard-band halos, multi-layer chaining, and elementwise
+    fusion mid-chain — vs reflect-padded XLA convs."""
+    import jax
+
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import (
+        chain_enter, chain_exit, chain_refresh_halo, conv_tlane_chain)
+
+    r = np.random.RandomState(1)
+    h, w = 20, 40
+
+    def ref_conv(x, wgt, k, act=True):
+        p = k // 2
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        y = jax.lax.conv_general_dilated(
+            xp, wgt, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.maximum(y, 0.0) if act else y
+
+    # single layers across k/channel configs (incl. c_in=1 stem)
+    for k, cin, cout in [(5, 1, 8), (7, 8, 16), (3, 16, 8)]:
+        x = jnp.asarray(r.rand(2, h, w, cin), jnp.float32)
+        wgt = jnp.asarray(r.rand(k, k, cin, cout) - 0.5, jnp.float32)
+        bias = jnp.asarray(r.rand(cout) - 0.5, jnp.float32)
+        want = jnp.clip(ref_conv(x, wgt, k, act=False) + bias, 0.0, 6.0)
+        xt = chain_refresh_halo(chain_enter(x), h, w, k // 2)
+        got = chain_exit(conv_tlane_chain(xt, wgt, k, h=h, w_valid=w,
+                                          bias=bias, act="relu6",
+                                          interpret=True), h, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    # 2-layer chain with elementwise-sum fusion in the middle (the
+    # _FusionModel fast-path shape: enc -> sum -> dec)
+    x1 = jnp.asarray(r.rand(1, h, w, 1), jnp.float32)
+    x2 = jnp.asarray(r.rand(1, h, w, 1), jnp.float32)
+    w1 = jnp.asarray(r.rand(5, 5, 1, 8) - 0.5, jnp.float32)
+    w2 = jnp.asarray(r.rand(7, 7, 8, 4) - 0.5, jnp.float32)
+    want = ref_conv(ref_conv(x1, w1, 5) + ref_conv(x2, w1, 5), w2, 7)
+
+    def enc(x):
+        t = chain_refresh_halo(chain_enter(x), h, w, 2)
+        return conv_tlane_chain(t, w1, 5, h=h, w_valid=w, act="relu",
+                                interpret=True)
+
+    s = chain_refresh_halo(enc(x1) + enc(x2), h, w, 3)
+    got = chain_exit(conv_tlane_chain(s, w2, 7, h=h, w_valid=w, act="relu",
+                                      interpret=True), h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

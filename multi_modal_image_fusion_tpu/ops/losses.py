@@ -224,8 +224,21 @@ _SOBEL_Y = jnp.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], jnp.float32)
 
 def sobel_xy(img):
     """Reflect-padded Sobel x/y responses of an NHWC image (reference
-    loss.py:314-328, also used by Qabf metrics)."""
+    loss.py:314-328, also used by Qabf metrics).
+
+    C==1 (the whole grayscale pipeline): the Sobel kernels are separable
+    ([1,2,1] smooth x [-1,0,1] derivative), so both responses run as
+    band-matrix matmuls on the MXU — XLA's C==1 depthwise conv is
+    lane-starved (see ops/ssim.separable_filter_mm)."""
     c = img.shape[-1]
+    if c == 1:
+        from .ssim import separable_filter_mm
+
+        gx = separable_filter_mm(img, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0),
+                                 reflect=True)
+        gy = separable_filter_mm(img, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0),
+                                 reflect=True)
+        return gx, gy
     im = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     kx = jnp.tile(_SOBEL_X[..., None, None], (1, 1, 1, c))
     ky = jnp.tile(_SOBEL_Y[..., None, None], (1, 1, 1, c))

@@ -29,13 +29,65 @@ def default_sigma(win_size):
     return 1.5 if win_size == 11 else 0.15 * (win_size - 1)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _band_matrix(n_in, taps, reflect):
+    """(n_in, n_out) f32 constant expressing a 1-D tap filter as a matmul:
+    y[j] = sum_i x[i] * K[i, j]. reflect=True folds torch-style reflect
+    padding into the matrix (n_out == n_in); reflect=False is VALID
+    (n_out = n_in - ws + 1)."""
+    ws = len(taps)
+    p = ws // 2
+    if reflect:
+        n_out, off = n_in, -p
+    else:
+        n_out, off = n_in - ws + 1, 0
+    K = np.zeros((n_in, n_out), np.float32)
+    for j in range(n_out):
+        for t in range(ws):
+            i = j + off + t
+            if i < 0:
+                i = -i                       # reflect: index -i mirrors i
+            elif i >= n_in:
+                i = 2 * n_in - 2 - i
+            K[i, j] += taps[t]
+    return K
+
+
+def separable_filter_mm(img, taps_h, taps_w, reflect=False):
+    """Separable 1-D filtering of an NHWC C==1 image as two band-matrix
+    matmuls on the MXU. XLA's C==1 depthwise-conv lowering runs at <1
+    TFLOPS (lane-starved) — ~60x more matmul FLOPs still win ~30x
+    wall-clock at eval resolutions, and the reflect boundary folds into
+    the constant matrix. Gradient-friendly (used by training losses)."""
+    x = img[..., 0]
+    Kw = jnp.asarray(_band_matrix(x.shape[2], tuple(map(float, taps_w)),
+                                  reflect))
+    Kh = jnp.asarray(_band_matrix(x.shape[1], tuple(map(float, taps_h)),
+                                  reflect))
+    y = jnp.einsum("bhw,wj->bhj", x, Kw,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("bhj,hi->bij", y, Kh,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y[..., None]
+
+
 def gaussian_filter(img, kernel1d, use_padding=False):
     """Separable depthwise Gaussian filter of an NHWC image. VALID conv
     (shrinks by win-1) unless use_padding (reflect, preserves shape) —
-    matching reference _gaussian_fn (loss.py:42-49)."""
+    matching reference _gaussian_fn (loss.py:42-49).
+
+    C==1 images (the whole grayscale pipeline) route through band-matrix
+    matmuls (separable_filter_mm); multi-channel falls back to depthwise
+    convs."""
     k = jnp.asarray(kernel1d, img.dtype)
     ws = k.shape[0]
     c = img.shape[-1]
+    if c == 1:
+        taps = tuple(float(t) for t in np.asarray(kernel1d, np.float64))
+        return separable_filter_mm(img, taps, taps, reflect=use_padding)
     if use_padding:
         p = ws // 2
         img = jnp.pad(img, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")

@@ -86,16 +86,32 @@ class PFNetv1(nn.Module):
 
     @nn.compact
     def __call__(self, img1, img2, train=False):
-        def encode(img, tag):
-            x = ConvLayer(16, name=f"conv_in_{tag}")(img, train)
-            return DenseBlock(16, name=f"dense_{tag}")(x, train)
+        from ..ops.layers import chain_ready
 
-        feat = concat_fusion((encode(img1, "1"), encode(img2, "2")))
+        # guard-layout fast path (all convs are reflect-SAME k3, fusion is
+        # channel concat): the two unshared encoders each run in the chain
+        chain = not train and chain_ready()
+        if chain:
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            h, w = img1.shape[1], img1.shape[2]
+            img1, img2 = chain_enter(img1), chain_enter(img2)
+            kw = dict(chain_hw=(h, w))
+        else:
+            kw = {}
+
+        def encode(img, tag):
+            x = ConvLayer(16, name=f"conv_in_{tag}")(img, train, **kw)
+            return DenseBlock(16, name=f"dense_{tag}")(x, train, **kw)
+
+        feat = concat_fusion((encode(img1, "1"), encode(img2, "2")),
+                             axis=1 if chain else -1)
         for i, (ch, act) in enumerate([(128, "relu"), (64, "relu"),
                                        (32, "relu"), (16, "relu"),
                                        (1, None)]):
-            feat = ConvLayer(ch, act=act, name=f"decode{i}")(feat, train)
-        return feat
+            feat = ConvLayer(ch, act=act, name=f"decode{i}")(feat, train,
+                                                             **kw)
+        return chain_exit(feat, h, w) if chain else feat
 
 
 class PFNetv2(_FusionModel):

@@ -206,3 +206,26 @@ def test_chain_conv_parity():
     got = chain_exit(conv_tlane_chain(s, w2, 7, h=h, w_valid=w, act="relu",
                                       interpret=True), h, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["deepfuse", "densefuse", "vifnet",
+                                  "pfnetv1"])
+def test_model_chain_fast_path_parity(name, monkeypatch):
+    """Full-model guard-layout fast path (MMIF_CHAIN_INTERPRET forces the
+    chain kernels in interpret mode on CPU) vs the normal forward."""
+    import jax
+
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops.layers import fast_inference
+
+    monkeypatch.setenv("MMIF_CHAIN_INTERPRET", "1")
+    r = np.random.RandomState(0)
+    model = create_model(name)
+    x1 = jnp.asarray(r.rand(1, 30, 44, 1), jnp.float32)
+    x2 = jnp.asarray(r.rand(1, 30, 44, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    want = model.apply(v, x1, x2, train=False)
+    with fast_inference():
+        got = model.apply(v, x1, x2, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)

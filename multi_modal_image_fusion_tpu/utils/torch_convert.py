@@ -223,6 +223,118 @@ def _nest_decoder(t, key, block_fn):
     return {n: block_fn(t, f"{key}.{n}") for n in names}
 
 
+def _transition(t, key):
+    """TransitionBlock (reference block.py:620-664): maxpool mode has one
+    pw ConvLayer at layers.1 (layers.0 MaxPool2d is parameterless); stride
+    mode has dw at layers.0, pw at layers.1."""
+    if t.has(f"{key}.layers.0.layers.0.weight"):
+        return {"dw": _conv(t, f"{key}.layers.0"),
+                "pw": _conv(t, f"{key}.layers.1")}
+    return {"pw": _conv(t, f"{key}.layers.1")}
+
+
+def _dc_block(t, key):
+    """DCBlock pw->dw->pw (reference block.py:667-705)."""
+    out = {"pw1": _conv(t, f"{key}.layers.0"),
+           "dw": _conv(t, f"{key}.layers.1"),
+           "pw2": _conv(t, f"{key}.layers.2")}
+    if t.has(f"{key}.shortcut.layers.0.weight"):
+        out["shortcut"] = _conv(t, f"{key}.shortcut")
+    return out
+
+
+def _former(t, key, mixer_fn, stats=None, path=None):
+    """MetaFormer-family block at a nested key; the concrete Formers'
+    BatchNorm norm1/norm2 running stats route into batch_stats."""
+    path = path or []
+    p = {
+        "norm1": _standalone_norm(t, f"{key}.norm1", stats,
+                                  path + ["norm1"]),
+        "norm2": _standalone_norm(t, f"{key}.norm2", stats,
+                                  path + ["norm2"]),
+        "ffn": _ffn(t, f"{key}.ffn"),
+    }
+    if mixer_fn is not None:
+        p["token_mixer"] = mixer_fn(t, f"{key}.token_mixer")
+    for s in ("layer_scale1", "res_scale1", "layer_scale2", "res_scale2"):
+        if t.has(f"{key}.{s}.scale"):
+            p[s] = {"scale": t.take(f"{key}.{s}.scale")}
+    return p
+
+
+def _myfusion_encoder_fn(kind):
+    if kind == "sep":
+        return lambda t, k, stats, path: _sep_block(t, k)
+    if kind in ("mix", "res2"):
+        return lambda t, k, stats, path: _res2_block(t, k, 4)
+    mixers = {"conv_former": _sep_block,
+              "mix_former": lambda t2, k2: _res2_block(t2, k2, 4),
+              "res2_former": lambda t2, k2: _res2_block(t2, k2, 4),
+              "transformer": _attention}
+    mixer = mixers[kind]
+    return lambda t, k, stats, path: _former(t, k, mixer, stats, path)
+
+
+def convert_myfusion(torch_sd, encoder="sep", decoder="nest",
+                     fusion_method="attn", share_weight_levels=4):
+    """Convert a reference MyFusion state_dict (model.py:630-842) for the
+    given design-space configuration."""
+    t = _Taker(torch_sd)
+    stats = {}
+    swl = share_weight_levels
+    enc = [encoder] * 4 if isinstance(encoder, str) else list(encoder)
+    enc_fns = [_myfusion_encoder_fn(e) for e in enc]
+
+    def eb(i, branch):
+        name = f"EB{i}_{branch}"
+        return enc_fns[i - 1](t, name, stats, [name])
+
+    p = {
+        "conv_in_1": _conv(t, "conv_in_1"),
+        "down1_1": _transition(t, "down1_1"),
+        "down2_1": _transition(t, "down2_1"),
+        "down3_1": _transition(t, "down3_1"),
+        "down4_1": _transition(t, "down4_1"),
+        "EB1_1": eb(1, 1),
+        "EB2_1": eb(2, 1),
+        "EB3_1": eb(3, 1),
+        "EB4_1": eb(4, 1),
+        "conv_out": _conv(t, "conv_out"),
+    }
+    if swl < 4:
+        p["conv_in_2"] = _conv(t, "conv_in_2")
+        p["down1_2"] = _transition(t, "down1_2")
+        p["EB1_2"] = eb(1, 2)
+    if swl < 3:
+        p["down2_2"] = _transition(t, "down2_2")
+        p["EB2_2"] = eb(2, 2)
+    if swl < 2:
+        p["down3_2"] = _transition(t, "down3_2")
+        p["EB3_2"] = eb(3, 2)
+    if swl < 1:
+        p["down4_2"] = _transition(t, "down4_2")
+        p["EB4_2"] = eb(4, 2)
+
+    if fusion_method == "concat":
+        for i in range(1, 5):
+            p[f"fuse{i}"] = _conv(t, f"fuse{i}")
+    elif fusion_method == "rfn":
+        for i in range(1, 5):
+            p[f"RFN{i}"] = _rfn(t, f"RFN{i}")
+
+    if decoder == "nest":
+        p["decode"] = _nest_decoder(t, "decode", _dc_block)
+    else:   # 'plain' | 'ls' | 'fs' all use DB1..DB3
+        p["decode"] = {f"DB{i}": _dc_block(t, f"decode.DB{i}")
+                       for i in (1, 2, 3)}
+
+    t.done()
+    out = {"params": p}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
 def _seq(t, prefix, flax_names, **kw):
     return {fn: _conv(t, f"{prefix}.{i}", **kw)
             for i, fn in enumerate(flax_names)}

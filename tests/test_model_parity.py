@@ -147,3 +147,50 @@ def test_zoo_forward_parity(golden, name):
             y = model.apply(variables, nchw_to_nhwc(d["x1"]), train=False)
             np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y)),
                                        d["y_ae"], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# MyFusion design-space forward parity: all 4 decoders, all 4 fusion
+# methods, raw-block + Former + Attention encoders, both down/up modes,
+# share_weight_levels in {4, 2, 0} (reference model.py:630-842).
+# ---------------------------------------------------------------------------
+
+from multi_modal_image_fusion_tpu.utils.torch_convert import \
+    convert_myfusion
+
+MYFUSION_CASES = {
+    "default": dict(),
+    "transformer_fs_elem": dict(encoder="transformer", decoder="fs",
+                                fusion_method="elem", fusion_mode="sum"),
+    "mixformer_ls_concat": dict(encoder="mix_former", decoder="ls",
+                                fusion_method="concat", up_mode="nearest",
+                                share_weight_levels=2),
+    "res2_plain_rfn": dict(encoder="res2", decoder="plain",
+                           fusion_method="rfn", down_mode="maxpool",
+                           share_weight_levels=0),
+}
+
+
+@pytest.mark.parametrize("cfg", sorted(MYFUSION_CASES))
+def test_myfusion_forward_parity(golden, cfg):
+    d = golden(f"model_fwd_myfusion_{cfg}")
+    kw = MYFUSION_CASES[cfg]
+    keyshapes = json.loads(bytes(d["keyshapes"]).decode())
+    variables = convert_myfusion(
+        synth_state_dict(keyshapes),
+        encoder=kw.get("encoder", "sep"),
+        decoder=kw.get("decoder", "nest"),
+        fusion_method=kw.get("fusion_method", "attn"),
+        share_weight_levels=kw.get("share_weight_levels", 4))
+    model = create_model("myfusion", **kw)
+
+    with jax.default_matmul_precision("float32"):
+        y = model.apply(variables, nchw_to_nhwc(d["x1"]),
+                        nchw_to_nhwc(d["x2"]), train=False)
+        np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y)), d["y"],
+                                   atol=1e-4)
+        if "y_odd" in d.files:
+            y = model.apply(variables, nchw_to_nhwc(d["x1o"]),
+                            nchw_to_nhwc(d["x2o"]), train=False)
+            np.testing.assert_allclose(nhwc_to_nchw(np.asarray(y)),
+                                       d["y_odd"], atol=1e-4)

@@ -434,3 +434,76 @@ def gen_blocks():
 
 if __name__ == "__main__" and os.environ.get("GOLDEN_BLOCKS"):
     gen_blocks()
+
+
+MYFUSION_CONFIGS = {
+    # name: (reference ctor kwargs builder, our create_model kwargs)
+    "default": ({}, {}),
+    "transformer_fs_elem": (
+        dict(encoder="TransformerBlock", decoder="FSDecoder",
+             fusion_method="elem", fusion_mode="sum"),
+        dict(encoder="transformer", decoder="fs",
+             fusion_method="elem", fusion_mode="sum")),
+    "mixformer_ls_concat": (
+        dict(encoder="MixFormerBlock", decoder="LSDecoder",
+             fusion_method="concat", up_mode="nearest",
+             share_weight_levels=2),
+        dict(encoder="mix_former", decoder="ls", fusion_method="concat",
+             up_mode="nearest", share_weight_levels=2)),
+    "res2_plain_rfn": (
+        dict(encoder="Res2ConvBlock", decoder="Decoder",
+             fusion_method="rfn", down_mode="maxpool",
+             share_weight_levels=0),
+        dict(encoder="res2", decoder="plain", fusion_method="rfn",
+             down_mode="maxpool", share_weight_levels=0)),
+}
+
+
+def gen_myfusion():
+    """Forward-parity fixtures across the MyFusion design space
+    (reference model.py:630-842): all 4 decoders, all 4 fusion methods,
+    raw conv blocks + Formers + Attention encoders, both down/up modes,
+    share_weight_levels in {4, 2, 0}."""
+    import json
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from param_synth import synth_value
+
+    from core import block as RB
+    from core.model import MyFusion
+
+    r = np.random.RandomState(555)
+    x1 = torch.tensor(r.rand(2, 1, 64, 64), dtype=torch.float32)
+    x2 = torch.tensor(r.rand(2, 1, 64, 64), dtype=torch.float32)
+    x1o = torch.tensor(r.rand(1, 1, 52, 44), dtype=torch.float32)
+    x2o = torch.tensor(r.rand(1, 1, 52, 44), dtype=torch.float32)
+
+    for name, (ref_kw, _our_kw) in MYFUSION_CONFIGS.items():
+        kw = dict(ref_kw)
+        if "encoder" in kw:
+            kw["encoder"] = getattr(RB, kw["encoder"])
+        if "decoder" in kw:
+            kw["decoder"] = getattr(RB, kw["decoder"])
+        m = MyFusion(**kw).eval()
+        sd = m.state_dict()
+        synth = {k: torch.tensor(synth_value(k, tuple(v.shape)))
+                 for k, v in sd.items()}
+        m.load_state_dict(synth)
+        out = {
+            "x1": t2n(x1), "x2": t2n(x2), "x1o": t2n(x1o), "x2o": t2n(x2o),
+            "keyshapes": np.frombuffer(json.dumps(
+                {k: list(v.shape) for k, v in sd.items()}).encode(),
+                dtype=np.uint8),
+        }
+        with torch.no_grad():
+            out["y"] = t2n(m(x1, x2))
+            try:
+                out["y_odd"] = t2n(m(x1o, x2o))
+            except RuntimeError:
+                pass
+        save(f"model_fwd_myfusion_{name}", **out)
+
+
+if __name__ == "__main__" and os.environ.get("GOLDEN_MYFUSION"):
+    gen_myfusion()

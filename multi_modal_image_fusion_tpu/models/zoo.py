@@ -616,6 +616,24 @@ class IFCNN(_FusionModel):
             feat = layer(feat, train)
         return feat
 
+    def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        # chain fast path: eval-mode BN folds into the convs, max fusion
+        # is elementwise, dec1 is a k1 channel matmul
+        if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
+            for layer in self.enc:
+                t = layer(t, train=False, chain_hw=(h, w))
+            t = element_fusion(t[:n], t[n:], "max")
+            for layer in self.dec:
+                t = layer(t, train=False, chain_hw=(h, w))
+            return chain_exit(t, h, w)
+        return super().__call__(img1, img2, train)
+
 
 class DIFNet(_FusionModel):
     """ResBlock encoder/decoder with a learned 1-conv concat fusion."""
@@ -650,6 +668,20 @@ class DIFNet(_FusionModel):
         return feat
 
     def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
+            for layer in self.enc:
+                t = layer(t, train=False, chain_hw=(h, w))
+            t = self.fuse(concat_fusion((t[:n], t[n:]), axis=1),
+                          train=False, chain_hw=(h, w))
+            for layer in self.dec:
+                t = layer(t, train=False, chain_hw=(h, w))
+            return chain_exit(t, h, w)
         if img2 is None:
             return self.decoder(self.encoder(img1, train), train)
         feat1 = self.encoder(img1, train)

@@ -43,9 +43,11 @@ class ResBlock(nn.Module):
     norm2: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train=False):
-        y = ConvLayer(self.out_ch, norm=self.norm1)(x, train)
-        y = ConvLayer(self.out_ch, norm=self.norm2, act=None)(y, train)
+    def __call__(self, x, train=False, chain_hw=None):
+        y = ConvLayer(self.out_ch, norm=self.norm1)(x, train,
+                                                    chain_hw=chain_hw)
+        y = ConvLayer(self.out_ch, norm=self.norm2, act=None)(
+            y, train, chain_hw=chain_hw)
         return y + x
 
 

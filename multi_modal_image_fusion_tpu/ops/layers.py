@@ -210,6 +210,25 @@ def apply_norm(norm, x, train):
 # ---------------------------------------------------------------------------
 
 
+class _BNParams(nn.Module):
+    """Declares a BatchNorm's parameter/stat tree (same names and paths as
+    nn.BatchNorm: params scale/bias, batch_stats mean/var) WITHOUT applying
+    it — used to fold eval-mode BN into the preceding conv's weights on
+    the fast inference paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,)))
+        return s, b, mean.value, var.value
+
+
 class ConvLayer(nn.Module):
     """conv( + pre/post norm + act) with reflect 'SAME' padding by default.
 
@@ -242,12 +261,14 @@ class ConvLayer(nn.Module):
 
         if chain_hw is not None:
             # x is a guard-layout (B, C, HG, Wp) chain tensor (see
-            # conv_kernel.conv_tlane_chain); only plain reflect-SAME convs
-            # without norms participate in chains
-            assert (self.pre_norm is None and self.norm is None
-                    and not self.transpose and self.stride == 1
-                    and self.groups == 1 and self.dilation == 1
-                    and pad == self.ksize // 2)
+            # conv_kernel.conv_tlane_chain): reflect-SAME convs (k1 runs as
+            # a channel matmul, no halo); eval-mode BatchNorm folds into
+            # the conv weights (y*g + t with g = scale/sqrt(var+eps))
+            assert (self.pre_norm is None and not self.transpose
+                    and self.stride == 1 and self.groups == 1
+                    and self.dilation == 1 and not train
+                    and (self.ksize == 1 or pad == self.ksize // 2)
+                    and self.norm in (None, "batch"))
             from .pallas.conv_kernel import (chain_refresh_halo,
                                              conv_tlane_chain)
 
@@ -257,19 +278,34 @@ class ConvLayer(nn.Module):
                 (self.ksize, self.ksize, in_ch, self.out_ch))
             b = self.param("bias", nn.initializers.zeros,
                            (self.out_ch,)) if bias else None
+            if self.norm == "batch":
+                s, bn_b, mu, var = _BNParams(self.out_ch, name="norm")()
+                g = s * jax.lax.rsqrt(var + 1e-5)
+                kernel = kernel * g
+                eff_bias = ((b if b is not None else 0.0) - mu) * g + bn_b
+            else:
+                eff_bias = b
             h, w = chain_hw
+
+            if self.ksize == 1:
+                y = jnp.einsum("bchw,cd->bdhw", x,
+                               kernel[0, 0].astype(x.dtype))
+                if eff_bias is not None:
+                    y = y + eff_bias[None, :, None, None].astype(y.dtype)
+                return get_act(self.act)(y)
+
             xt = chain_refresh_halo(x, h, w, self.ksize // 2)
             fuse_ba = self.act is None or self.act in _FUSABLE_ACTS
             y = conv_tlane_chain(xt, kernel.astype(x.dtype), self.ksize,
                                  h=h, w_valid=w,
-                                 bias=b if fuse_ba else None,
+                                 bias=eff_bias if fuse_ba else None,
                                  act=self.act if fuse_ba else None,
                                  rows=16,
                                  interpret=bool(
                                      os.environ.get("MMIF_CHAIN_INTERPRET")))
             if not fuse_ba:
-                if b is not None:
-                    y = y + b[None, :, None, None]
+                if eff_bias is not None:
+                    y = y + eff_bias[None, :, None, None].astype(y.dtype)
                 y = get_act(self.act)(y)
             return y
 

@@ -209,7 +209,7 @@ def test_chain_conv_parity():
 
 
 @pytest.mark.parametrize("name", ["deepfuse", "densefuse", "vifnet",
-                                  "pfnetv1"])
+                                  "pfnetv1", "ifcnn", "difnet"])
 def test_model_chain_fast_path_parity(name, monkeypatch):
     """Full-model guard-layout fast path (MMIF_CHAIN_INTERPRET forces the
     chain kernels in interpret mode on CPU) vs the normal forward."""
@@ -223,7 +223,14 @@ def test_model_chain_fast_path_parity(name, monkeypatch):
     model = create_model(name)
     x1 = jnp.asarray(r.rand(1, 30, 44, 1), jnp.float32)
     x2 = jnp.asarray(r.rand(1, 30, 44, 1), jnp.float32)
-    v = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    v = model.init(jax.random.PRNGKey(0), x1, x2, train=True)
+    if "batch_stats" in v:
+        # perturb BN stats off identity so eval-mode BN folding is tested
+        v = dict(v)
+        v["batch_stats"] = jax.tree.map(
+            lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype
+                                           ).reshape(a.shape) / a.size,
+            v["batch_stats"])
     want = model.apply(v, x1, x2, train=False)
     with fast_inference():
         got = model.apply(v, x1, x2, train=False)

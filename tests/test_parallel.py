@@ -92,3 +92,29 @@ def test_graft_entry_dryrun():
     assert y.shape == (1, 256, 256, 1)
 
     ge.dryrun_multichip(8)
+
+
+def test_five_step_loss_trajectory_matches_single_device():
+    """Weak-scaling sanity (VERDICT round-2 item 7): five consecutive
+    sharded train steps with fresh batches track the single-device loss
+    trajectory — adam state, batch stats, and gradient averaging all stay
+    equivalent over time, not just for one step."""
+    model = create_model("ifcnn")       # BN-bearing: stats evolve too
+    schedule = make_lr_schedule(1e-4, 10, 12)
+
+    t1 = Trainer(model, schedule, mesh=make_mesh(jax.devices()[:1]))
+    t8 = Trainer(model, schedule, mesh=make_mesh(jax.devices()[:8]))
+    r = np.random.RandomState(7)
+    init = _batch()
+    s1 = t1.init_state(jax.random.PRNGKey(0), t1.shard(init))
+    s8 = t8.init_state(jax.random.PRNGKey(0), t8.shard(init))
+
+    traj1, traj8 = [], []
+    for step in range(5):
+        b = (jnp.asarray(r.rand(8, 32, 32, 1).astype("float32")),
+             jnp.asarray(r.rand(8, 32, 32, 1).astype("float32")))
+        s1, parts1, _ = t1.train_step(s1, t1.shard(b))
+        s8, parts8, _ = t8.train_step(s8, t8.shard(b))
+        traj1.append(float(parts1["loss"]))
+        traj8.append(float(parts8["loss"]))
+    np.testing.assert_allclose(traj1, traj8, atol=2e-5)

@@ -155,6 +155,12 @@ def ssim_maps_pallas(img1, img2, win_size=11, data_range=1.0,
             pl.BlockSpec((1, 1, rows, W), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        # Mosaic's default 16M scoped-vmem accounting rejects W >= 1280
+        # lanes (polarization resolution 1224x1024 -> 1280 padded) even
+        # though physical VMEM headroom exists — same lift as
+        # conv_kernel.conv_tlane_dma
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(strips_a, strips_b)
 

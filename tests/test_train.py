@@ -37,6 +37,22 @@ def test_warmup_schedule():
     assert float(sched(100)) == pytest.approx(1e-4)
 
 
+def test_warmup_schedule_constant():
+    # reference common.py:160-163: flat warmup_factor until warmup_iters,
+    # then full LR
+    sched = make_lr_schedule(1e-4, steps_per_epoch=100, num_epochs=12,
+                             warmup=True, warmup_factor=0.001,
+                             warmup_method="constant")
+    assert float(sched(0)) == pytest.approx(1e-7)
+    assert float(sched(50)) == pytest.approx(1e-7)
+    assert float(sched(99)) == pytest.approx(1e-7)
+    assert float(sched(100)) == pytest.approx(1e-4)
+
+    with pytest.raises(ValueError):
+        make_lr_schedule(1e-4, 100, 12, warmup=True,
+                         warmup_method="cosine")
+
+
 def _toy_setup(model_name="deepfuse"):
     model = create_model(model_name)
     sched = make_lr_schedule(1e-3, 10, 12)

@@ -255,14 +255,20 @@ class DenseFuse(_FusionModel):
         from ..ops.layers import chain_ready
 
         if (img2 is not None and not train and chain_ready()
-                and self.fusion_mode == "sum"):
+                and self.fusion_mode in ("sum", "l1")):
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
             t = chain_enter(jnp.concatenate([img1, img2], axis=0))
             t = self.conv_in(t, train=False, chain_hw=(h, w))
             t = self.dense(t, train=False, chain_hw=(h, w))
-            t = element_fusion(t[:n], t[n:], "sum")
+            if self.fusion_mode == "sum":
+                t = element_fusion(t[:n], t[n:], "sum")
+            else:
+                # l1 spatial attention is per-pixel over channels (axis 1
+                # in the chain layout) — no cross-pixel mixing, chain-safe
+                t = attention_fusion(t[:n], t[n:], "sa", spatial_mode="l1",
+                                     caxis=1)
             for layer in self.dec:
                 t = layer(t, train=False, chain_hw=(h, w))
             return chain_exit(t, h, w)

@@ -41,8 +41,16 @@ def concat_fusion(tensors, axis=-1):
 
 
 def attention_fusion(t1, t2, mode="sca", spatial_mode="l1",
-                     channel_mode="avg"):
-    """reference core/fusion.py:42-59"""
+                     channel_mode="avg", caxis=-1):
+    """reference core/fusion.py:42-59
+
+    caxis: channel axis (-1 NHWC; 1 for guard-layout chain tensors —
+    only 'sa' with a per-pixel spatial_mode is chain-safe, since channel
+    pooling reduces over spatial positions and would mix guard pixels)."""
+    if caxis != -1:
+        assert mode == "sa" and spatial_mode != "nl"
+        return spatial_fusion(t1, t2, spatial_mode, softmax=False,
+                              caxis=caxis)
     f_spatial = spatial_fusion(t1, t2, spatial_mode, softmax=False)
     f_channel = channel_fusion(t1, t2, channel_mode, softmax=False)
 
@@ -57,10 +65,10 @@ def attention_fusion(t1, t2, mode="sca", spatial_mode="l1",
     raise ValueError("only supported ['sa', 'ca', 'sca', 'wavg'] mode")
 
 
-def spatial_fusion(t1, t2, mode="l1", softmax=True):
+def spatial_fusion(t1, t2, mode="l1", softmax=True, caxis=-1):
     """reference core/fusion.py:62-70"""
-    s1 = spatial_pooling(t1, mode)
-    s2 = spatial_pooling(t2, mode)
+    s1 = spatial_pooling(t1, mode, caxis=caxis)
+    s2 = spatial_pooling(t2, mode, caxis=caxis)
     if softmax:
         s1 = jnp.exp(s1)
         s2 = jnp.exp(s2)
@@ -83,21 +91,24 @@ def _avg_pool8(x):
     return s / 64.0
 
 
-def spatial_pooling(t, mode="l1"):
+def spatial_pooling(t, mode="l1", caxis=-1):
     """Per-pixel channel pooling -> (N,H,W,1) map, or the 'nl' non-local
-    spatial attention (reference core/fusion.py:84-117)."""
+    spatial attention (reference core/fusion.py:84-117). caxis selects the
+    channel axis (NHWC -1 / chain-layout 1) for the per-pixel modes."""
     if mode == "sum":
-        return t.sum(axis=-1, keepdims=True)
+        return t.sum(axis=caxis, keepdims=True)
     elif mode == "mean":
-        return t.mean(axis=-1, keepdims=True)
+        return t.mean(axis=caxis, keepdims=True)
     elif mode == "l1":
-        return jnp.abs(t).sum(axis=-1, keepdims=True)
+        return jnp.abs(t).sum(axis=caxis, keepdims=True)
     elif mode == "l2":
-        return jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True))
+        return jnp.sqrt(jnp.sum(t * t, axis=caxis, keepdims=True))
     elif mode == "linf":
-        return t.max(axis=-1, keepdims=True)
+        return t.max(axis=caxis, keepdims=True)
+    # 'nl' mixes across spatial positions: NHWC only
+    assert caxis == -1, f"mode {mode!r} is not channel-axis-agnostic"
 
-    elif mode == "nl":
+    if mode == "nl":
         # q: [B,HW,C] x k: [B,HW/64,C] -> energy [B,HW,HW/64]; min-max
         # normalized, softmaxed, applied to pooled v. At full resolution the
         # dense energy matrix is enormous (1224x1024 -> ~98GB, which the

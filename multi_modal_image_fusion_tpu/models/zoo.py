@@ -157,6 +157,26 @@ class PFNetv2(_FusionModel):
         return feat
 
     def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            # chain fast path: the channels-into-batch fuse-net fold is a
+            # pure leading-axis reshape in the guard layout
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
+            t = self.conv_in(t, train=False, chain_hw=(h, w))
+            t = self.dense(t, train=False, chain_hw=(h, w))
+            f1, f2 = t[:n], t[n:]
+            c, hg, wp = f1.shape[1], f1.shape[2], f1.shape[3]
+            z = jnp.stack([f1, f2], axis=2).reshape(n * c, 2, hg, wp)
+            for layer in self.fuse_layers:
+                z = layer(z, train=False, chain_hw=(h, w))
+            t = z.reshape(n, c, hg, wp) + f1 + f2
+            for layer in self.decode_layers:
+                t = layer(t, train=False, chain_hw=(h, w))
+            return chain_exit(t, h, w)
         if img2 is None:
             return self.decoder(self.encoder(img1, train), train)
         feat1 = self.encoder(img1, train)

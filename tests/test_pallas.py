@@ -209,7 +209,8 @@ def test_chain_conv_parity():
 
 
 @pytest.mark.parametrize("name", ["deepfuse", "densefuse", "vifnet",
-                                  "pfnetv1", "ifcnn", "difnet"])
+                                  "pfnetv1", "ifcnn", "difnet",
+                                  "pfnetv2"])
 def test_model_chain_fast_path_parity(name, monkeypatch):
     """Full-model guard-layout fast path (MMIF_CHAIN_INTERPRET forces the
     chain kernels in interpret mode on CPU) vs the normal forward."""

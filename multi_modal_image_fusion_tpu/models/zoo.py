@@ -222,6 +222,11 @@ class DeepFuse(_FusionModel):
             for layer in self.enc:
                 t = layer(t, train=False, chain_hw=(h, w))
             t = element_fusion(t[:n], t[n:], self.fusion_mode)
+            # NOTE: running dec1+dec2 through conv_tlane_chain_pair (the
+            # fused two-layer strip kernel) measured SLOWER end-to-end
+            # (78.3 vs 80.5 pairs/s): the 2*pb-row overlap recompute plus
+            # the mid-halo mirror passes cost more than dec2's saved
+            # launch — kept unfused (docs/PERFORMANCE.md round 2).
             for layer in self.dec:
                 t = layer(t, train=False, chain_hw=(h, w))
             return chain_exit(t, h, w)

@@ -898,3 +898,239 @@ def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
         interpret=interpret,
     )(*operands)
     return out
+
+
+def _conv_kernel_chain_pair(*refs, ka, kb, rows, hsub, wp, wv, hv, tdma,
+                            c_in, c_mid, c_out, out_dtype, has_bias_a,
+                            act_a, has_bias_b, act_b, pa, pb):
+    """Two fused reflect-SAME convs per strip (the chain-tail fusion):
+    conv_a (ka, c_in->c_mid) then conv_b (kb, c_mid->c_out) with the
+    intermediate held in VMEM — conv_a's output never touches HBM, and
+    conv_b's separate strip-loop launch+DMA latency disappears.
+
+    Per output strip of `rows` rows, conv_a computes rows+2*pb mid rows
+    (the overlap recompute is 2*pb/rows); the mid tile's reflect halo is
+    patched in-kernel: lane mirrors every strip, row mirrors only on the
+    first/last strips (pl.when).
+    """
+    i = 0
+    x_ref = refs[i]; i += 1
+    wa_ref = refs[i]; i += 1
+    ba_ref = None
+    if has_bias_a:
+        ba_ref = refs[i]; i += 1
+    wb_ref = refs[i]; i += 1
+    bb_ref = None
+    if has_bias_b:
+        bb_ref = refs[i]; i += 1
+    out_ref = refs[i]; i += 1
+    t_ref, a_ref, mid_ref, amid_ref, acc_ref, stage_ref, in_sems, \
+        out_sems = refs[i:i + 8]
+
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    h0 = g * rows * hsub
+    n_strips = pl.num_programs(1) * hsub   # strips spanning padded H
+    mrows = rows + 2 * pb                  # mid rows computed per strip
+
+    def in_dma(slot, j):
+        # conv_a needs input rows [out0 - pb - pa, out0 + rows + pb + pa)
+        # where out0 = GUARD + h0 + j*rows; lead-8 block keeps starts
+        # 8-aligned (pa + pb <= 8 enforced by the wrapper)
+        start = CHAIN_GUARD - 8 + h0 + j * rows
+        return pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(start, tdma), :],
+            t_ref.at[slot], in_sems.at[slot])
+
+    def out_dma(slot, j):
+        return pltpu.make_async_copy(
+            stage_ref.at[slot],
+            out_ref.at[b, :, pl.ds(CHAIN_GUARD + h0 + j * rows, rows), :],
+            out_sems.at[slot])
+
+    in_dma(0, 0).start()
+
+    kw_order_a = [pa] + [kw for kw in range(ka) if kw != pa]
+    kw_order_b = [pb] + [kw for kw in range(kb) if kw != pb]
+
+    def strip(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < hsub)
+        def _():
+            in_dma(1 - slot, j + 1).start()
+
+        in_dma(slot, j).wait()
+
+        # ---- conv_a over mrows: mid row m (0..mrows) is output row
+        # h0 + j*rows - pb + m, needing input rows (... - pa + kh); in
+        # t-slot coords: m + 8 - pb - pa + kh
+        for kh in range(ka):
+            a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
+                t_ref[slot, :, pl.ds(8 - pb - pa + kh, mrows), :]
+        a = a_ref[:, :, :]
+        for i0 in range(0, ka):
+            kw = kw_order_a[i0]
+            p = jax.lax.dot_general(
+                wa_ref[:, i0 * c_mid:(i0 + 1) * c_mid], a,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sh = kw - pa
+            a0, b0, ln = max(0, -sh), max(0, sh), wp - abs(sh)
+            term = p[:, :, b0:b0 + ln]
+            if kw == pa:
+                acc_ref[:c_mid, :mrows, :] = term
+            else:
+                acc_ref[:c_mid, :mrows, a0:a0 + ln] += term
+        ymid = acc_ref[:c_mid, :mrows, :]
+        if has_bias_a:
+            ymid = ymid + ba_ref[:, :, :]
+        mid_ref[:, :, :] = _apply_act(ymid, act_a).astype(x_ref.dtype)
+
+        # ---- mid reflect halos: lanes every strip; rows at H boundaries.
+        # mid row index pb + r == output row h0 + j*rows + r.
+        for jj in range(pb):
+            # left lane guard: lane (WG-1-jj) mirrors lane (WG+1+jj);
+            # right: lane (WG+wv+jj) mirrors lane (WG+wv-2-jj)
+            mid_ref[:, :, CHAIN_WG - 1 - jj:CHAIN_WG - jj] = \
+                mid_ref[:, :, CHAIN_WG + 1 + jj:CHAIN_WG + 2 + jj]
+            mid_ref[:, :, CHAIN_WG + wv + jj:CHAIN_WG + wv + jj + 1] = \
+                mid_ref[:, :, CHAIN_WG + wv - 2 - jj:CHAIN_WG + wv - 1 - jj]
+
+        @pl.when(g * hsub + j == 0)
+        def _():
+            for ii in range(pb):
+                # top strip: mid row (pb-1-ii) = mirror of row (pb+1+ii)
+                mid_ref[:, pb - 1 - ii:pb - ii, :] = \
+                    mid_ref[:, pb + 1 + ii:pb + 2 + ii, :]
+
+        # bottom boundary: real mid row (hv + ii) mirrors (hv - 2 - ii).
+        # Dynamic sublane indices are illegal (Mosaic requires provable
+        # 8-alignment), so express each mirror as a STATIC row shift by
+        # 2*(ii+1) selected with a traced row mask — the shift's filler
+        # rows are never selected (hv >> rows keeps the target deep in
+        # the tile).
+        out0 = h0 + j * rows
+        row_real = (jax.lax.broadcasted_iota(jnp.int32, (1, mrows, 1), 1)
+                    + (out0 - pb))
+        cur = mid_ref[:, :, :]
+        for ii in range(pb):
+            sft = 2 * (ii + 1)
+            shifted = jnp.concatenate([cur[:, :sft, :], cur[:, :-sft, :]],
+                                      axis=1)
+            cur = jnp.where(row_real == hv + ii, shifted, cur)
+        mid_ref[:, :, :] = cur
+
+        # ---- conv_b on the mid tile
+        for kh in range(kb):
+            amid_ref[kh * c_mid:(kh + 1) * c_mid, :, :] = \
+                mid_ref[:, pl.ds(kh, rows), :]
+        am = amid_ref[:, :, :]
+        for i0 in range(0, kb):
+            kw = kw_order_b[i0]
+            p = jax.lax.dot_general(
+                wb_ref[:, i0 * c_out:(i0 + 1) * c_out], am,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sh = kw - pb
+            a0, b0, ln = max(0, -sh), max(0, sh), wp - abs(sh)
+            term = p[:, :, b0:b0 + ln]
+            if kw == pb:
+                acc_ref[:c_out, :rows, :] = term
+            else:
+                acc_ref[:c_out, :rows, a0:a0 + ln] += term
+
+        @pl.when(j >= 2)
+        def _():
+            out_dma(slot, j - 2).wait()
+
+        y = acc_ref[:c_out, :rows, :]
+        if has_bias_b:
+            y = y + bb_ref[:, :, :]
+        stage_ref[slot] = _apply_act(y, act_b).astype(out_dtype)
+        out_dma(slot, j).start()
+        return carry
+
+    jax.lax.fori_loop(0, hsub, strip, 0)
+    for tail in (hsub - 2, hsub - 1):
+        if tail >= 0:
+            out_dma(tail % 2, tail).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ka", "kb", "h", "w_valid", "act_a",
+                                    "act_b", "rows", "hsub", "interpret"))
+def conv_tlane_chain_pair(xt, wa, wb, ka, kb, h, w_valid, bias_a=None,
+                          act_a=None, bias_b=None, act_b=None, rows=16,
+                          hsub=None, interpret=False):
+    """Fused two-conv guard-layout pipeline: conv_a (ka, C_in->C_mid,
+    bias_a/act_a) then conv_b (kb, C_mid->C_out, bias_b/act_b), both
+    reflect-SAME, with the intermediate VMEM-resident. xt must have its
+    OWN halo refreshed for conv_a (chain_refresh_halo with pa+pb rows —
+    the overlap region's conv_a inputs extend pb rows beyond the usual
+    halo); the mid halo is patched in-kernel."""
+    b, c_in, hg, wp = xt.shape
+    c_mid = wa.shape[-1]
+    c_out = wb.shape[-1]
+    pa, pb = ka // 2, kb // 2
+    assert pa + pb <= 8 and pb <= CHAIN_WG
+    assert rows % 8 == 0
+    h8 = -(-h // 8) * 8
+    if hsub is None:
+        hsub = -(-h8 // rows)
+    strip = rows * hsub
+    grid_h = -(-h8 // strip)
+    tdma = -(-(8 + rows + pa + pb) // 8) * 8
+    assert CHAIN_GUARD + grid_h * strip + (tdma - rows - 8) <= hg
+
+    def wmat(w, k, c_i, c_o):
+        p = k // 2
+        order = [p] + [kw for kw in range(k) if kw != p]
+        m = jnp.transpose(w, (0, 2, 1, 3)).reshape(k * c_i, k, c_o)
+        return jnp.concatenate([m[:, kw] for kw in order],
+                               axis=-1).astype(xt.dtype)
+
+    kern = functools.partial(
+        _conv_kernel_chain_pair, ka=ka, kb=kb, rows=rows, hsub=hsub,
+        wp=wp, wv=w_valid, hv=h, tdma=tdma, c_in=c_in, c_mid=c_mid,
+        c_out=c_out, out_dtype=xt.dtype, has_bias_a=bias_a is not None,
+        act_a=act_a, has_bias_b=bias_b is not None, act_b=act_b, pa=pa,
+        pb=pb)
+
+    operands = [xt, wmat(wa, ka, c_in, c_mid)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if bias_a is not None:
+        operands.append(jnp.asarray(bias_a, jnp.float32
+                                    ).reshape(c_mid, 1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    operands.append(wmat(wb, kb, c_mid, c_out))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if bias_b is not None:
+        operands.append(jnp.asarray(bias_b, jnp.float32
+                                    ).reshape(c_out, 1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    mrows = rows + 2 * pb
+    cacc = max(c_mid, c_out)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, c_out, hg, wp), xt.dtype),
+        grid=(b, grid_h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, c_in, tdma, wp), xt.dtype),
+            pltpu.VMEM((ka * c_in, mrows, wp), xt.dtype),
+            pltpu.VMEM((c_mid, mrows, wp), xt.dtype),
+            pltpu.VMEM((kb * c_mid, rows, wp), xt.dtype),
+            pltpu.VMEM((cacc, mrows, wp), jnp.float32),
+            pltpu.VMEM((2, c_out, rows, wp), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out

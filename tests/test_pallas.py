@@ -237,3 +237,42 @@ def test_model_chain_fast_path_parity(name, monkeypatch):
         got = model.apply(v, x1, x2, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def test_chain_pair_fused_conv_parity():
+    """Fused two-conv strip kernel (conv_tlane_chain_pair): reflect-SAME
+    composition with the intermediate VMEM-resident, incl. the in-kernel
+    mid-halo mirrors at both H boundaries and the lane guards. (Measured
+    slower than two single chain convs end-to-end, so models keep the
+    unfused path; the kernel is retained as groundwork + regression
+    coverage for the mirror logic.)"""
+    import jax
+
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import (
+        chain_enter, chain_exit, chain_refresh_halo, conv_tlane_chain_pair)
+
+    r = np.random.RandomState(2)
+
+    def ref_conv(x, wgt, k, bias, act):
+        p = k // 2
+        xp = (jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+              if p else x)
+        y = jax.lax.conv_general_dilated(
+            xp, wgt, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        return jnp.maximum(y, 0.0) if act else y
+
+    for (h, w, cin, cmid, cout, ka, kb) in [(24, 40, 8, 16, 1, 5, 5),
+                                            (30, 44, 4, 8, 4, 7, 3)]:
+        x = jnp.asarray(r.rand(2, h, w, cin), jnp.float32)
+        wa = jnp.asarray(r.rand(ka, ka, cin, cmid) - 0.5, jnp.float32)
+        wb = jnp.asarray(r.rand(kb, kb, cmid, cout) - 0.5, jnp.float32)
+        ba = jnp.asarray(r.rand(cmid) - 0.5, jnp.float32)
+        bb = jnp.asarray(r.rand(cout) - 0.5, jnp.float32)
+        want = ref_conv(ref_conv(x, wa, ka, ba, True), wb, kb, bb, False)
+        xt = chain_refresh_halo(chain_enter(x), h, w, ka // 2 + kb // 2)
+        yt = conv_tlane_chain_pair(xt, wa, wb, ka, kb, h=h, w_valid=w,
+                                   bias_a=ba, act_a="relu", bias_b=bb,
+                                   act_b=None, rows=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(chain_exit(yt, h, w)),
+                                   np.asarray(want), atol=5e-5)

@@ -14,6 +14,15 @@ import numpy as np
 from ..data.transform import denorm
 from ..models import MODEL_ZOO
 
+# Platform override that actually works on hosts whose sitecustomize
+# force-registers a TPU plugin and resets JAX_PLATFORMS (the axon relay
+# does): the env var is ignored there, but jax.config.update before first
+# backend use is honored. MMIF_PLATFORM=cpu -> run this CLI on CPU.
+if os.environ.get("MMIF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MMIF_PLATFORM"])
+
 
 def _bool_flag(parser, name, default, help_on):
     dest = name.replace("-", "_")

@@ -255,12 +255,13 @@ class Attention(nn.Module):
             # the reference constructs self.pool unconditionally in
             # 'stride' mode but only calls it when sr > 1
             # (block.py:403-413, 422) — materialize its params either way
-            # for count/checkpoint parity; at sr == 1 the output is unused
-            # and XLA DCEs the compute
+            # for count/checkpoint parity; at sr == 1 run it in eval mode
+            # so a BatchNorm inside never updates its running stats from
+            # the discarded compute (which XLA then DCEs)
             x_pool = ConvLayer(in_ch, ksize=sr, stride=sr, padding=0,
                                groups=in_ch, use_bias=False,
                                norm=self.norm, act=self.act,
-                               name="pool")(x, train)
+                               name="pool")(x, train if sr > 1 else False)
             if sr == 1:
                 x_pool = x
         elif self.down_mode == "avgpool":

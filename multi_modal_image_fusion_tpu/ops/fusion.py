@@ -48,7 +48,12 @@ def attention_fusion(t1, t2, mode="sca", spatial_mode="l1",
     only 'sa' with a per-pixel spatial_mode is chain-safe, since channel
     pooling reduces over spatial positions and would mix guard pixels)."""
     if caxis != -1:
-        assert mode == "sa" and spatial_mode != "nl"
+        # hard error (not assert): under `python -O` a silent fall-through
+        # would unpack the NCHW chain tensor as NHWC and corrupt results
+        if mode != "sa" or spatial_mode == "nl":
+            raise ValueError(
+                f"attention_fusion(mode={mode!r}, spatial_mode="
+                f"{spatial_mode!r}) is not chain-safe (caxis={caxis})")
         return spatial_fusion(t1, t2, spatial_mode, softmax=False,
                               caxis=caxis)
     f_spatial = spatial_fusion(t1, t2, spatial_mode, softmax=False)
@@ -106,7 +111,9 @@ def spatial_pooling(t, mode="l1", caxis=-1):
     elif mode == "linf":
         return t.max(axis=caxis, keepdims=True)
     # 'nl' mixes across spatial positions: NHWC only
-    assert caxis == -1, f"mode {mode!r} is not channel-axis-agnostic"
+    if caxis != -1:
+        raise ValueError(f"mode {mode!r} is not channel-axis-agnostic "
+                         f"(caxis={caxis})")
 
     if mode == "nl":
         # q: [B,HW,C] x k: [B,HW/64,C] -> energy [B,HW,HW/64]; min-max

@@ -268,7 +268,10 @@ class ConvLayer(nn.Module):
                     and self.stride == 1 and self.groups == 1
                     and self.dilation == 1 and not train
                     and (self.ksize == 1 or pad == self.ksize // 2)
-                    and self.norm in (None, "batch"))
+                    and self.norm in (None, "batch")
+                    # chain halos are reflect-mirrored (chain_refresh_halo);
+                    # a zero/constant-pad layer must not take this path
+                    and (self.ksize == 1 or self.pad_mode == "reflect"))
             from .pallas.conv_kernel import (chain_refresh_halo,
                                              conv_tlane_chain)
 

@@ -12,6 +12,7 @@ one XLA computation; under a sharded batch the gradient/batch-stat
 reductions become ICI collectives inserted by the SPMD partitioner.
 """
 
+import inspect
 from functools import partial
 from typing import Any, Optional
 
@@ -66,6 +67,16 @@ class Trainer:
         self.model = model
         self.ae = ae
         self.loss_bundle = loss_bundle or make_loss_bundle()
+        # decide mask support once from the signature: catching TypeError
+        # per step would swallow genuine TypeErrors raised *inside* a
+        # custom bundle and silently drop exact partial-batch averaging
+        try:
+            sig = inspect.signature(self.loss_bundle)
+            self._bundle_takes_mask = ("mask" in sig.parameters or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()))
+        except (TypeError, ValueError):   # builtins/partials w/o signature
+            self._bundle_takes_mask = True
         self.mesh = mesh if mesh is not None else make_mesh()
 
         txs = []
@@ -133,9 +144,9 @@ class Trainer:
         tgt2 = img1 if img2 is None else img2
         imgf, _ = self._apply(state.params, state.batch_stats, img1, img2,
                               train=False)
-        try:
+        if self._bundle_takes_mask:
             _, parts = self.loss_bundle(img1, tgt2, imgf, mask=mask)
-        except TypeError:   # custom bundle without mask support
+        else:               # custom bundle without mask support
             _, parts = self.loss_bundle(img1, tgt2, imgf)
         return parts, imgf
 

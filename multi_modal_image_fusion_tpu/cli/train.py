@@ -36,7 +36,7 @@ from .common import (dataset_layout, get_train_parser, parse_model_cfg,
 
 
 def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
-              save_dir=None, log_interval=10):
+              save_dir=None, log_interval=10, schedule=None):
     """One train/valid epoch. Loss scalars stay on device between log
     points (a host fetch costs a full dispatch round-trip; the reference's
     per-iter `.item()` syncs, train.py:98, are the same trap on GPU) — the
@@ -72,6 +72,12 @@ def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
         loss_sum = contrib if loss_sum is None else loss_sum + contrib
         n_total += n
 
+        if mode == "train" and schedule is not None:
+            # per-iteration lr, like reference train.py:108-110 — the
+            # .host twin is pure numpy, so this costs no device dispatch
+            writer.add_scalar("lr_iter", schedule.host(
+                num_iters * epoch + it), num_iters * epoch + it)
+
         if (it + 1) % log_interval == 0 or it + 1 == num_iters:
             global_step = num_iters * epoch + it
             writer.add_scalar(f"{mode}_loss_iter", float(parts["loss"]),
@@ -90,30 +96,44 @@ def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
 
     if save_dir is not None and last is not None:
         batch, imgf = last
+
+        def local0(x):
+            # first sample of this process's shard: a batch-sharded global
+            # array can't be fetched whole under multi-host
+            if hasattr(x, "addressable_shards"):
+                return np.asarray(x.addressable_shards[0].data)[0]
+            return np.asarray(x)[0]
+
         if isinstance(batch, (tuple, list)):
-            result = save_result(np.asarray(imgf)[0],
-                                 np.asarray(batch[0])[0],
-                                 np.asarray(batch[1])[0])
+            result = save_result(local0(imgf), local0(batch[0]),
+                                 local0(batch[1]))
         else:  # AE mode: [input | reconstruction]
-            result = save_result(np.asarray(imgf)[0],
-                                 np.asarray(batch)[0],
-                                 np.asarray(imgf)[0])
+            result = save_result(local0(imgf), local0(batch), local0(imgf))
         imwrite(os.path.join(save_dir, f"{epoch + 1:0>2}.png"), result)
 
     return state, loss_meter.avg
 
 
 def main(argv=None):
+    args = get_train_parser().parse_args(argv)
+    if args.multihost:
+        # must run before ANYTHING that can initialize the XLA backend
+        # (enable_compilation_cache and setup_seed both can)
+        from ..parallel.mesh import init_multihost
+        init_multihost()
     from ..utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
-    args = get_train_parser().parse_args(argv)
     setup_seed(args.seed)
-
-    if args.multihost:
-        jax.distributed.initialize()
+    # rank-0-only persistent outputs (reference train.py:100, 121, 167,
+    # 354): non-main processes run the same compute (SPMD requires it) but
+    # write logs/checkpoints/scalars into a throwaway tempdir
+    main_proc = jax.process_index() == 0
 
     ckpt_root = args.ckpt_root or os.path.join(
         os.path.dirname(__file__), "..", "..", "..", "checkpoints")
+    if not main_proc:
+        import tempfile
+        ckpt_root = tempfile.mkdtemp(prefix="mmif_rank_scratch_")
     from datetime import datetime
 
     time_str = datetime.strftime(datetime.now(), "%Y-%m-%d_%H-%M")
@@ -263,7 +283,7 @@ def main(argv=None):
 
             state, train_loss = run_epoch(trainer, state, train_feeder,
                                           epoch, "train", logger, writer,
-                                          train_dir)
+                                          train_dir, schedule=schedule)
             state, valid_loss = run_epoch(trainer, state, valid_feeder,
                                           epoch, "valid", logger, writer,
                                           valid_dir)

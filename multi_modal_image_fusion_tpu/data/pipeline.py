@@ -100,8 +100,9 @@ class Feeder:
 
         def place(batch):
             if self.sharding is not None:
+                from ..parallel.mesh import place_sharded
                 return jax.tree.map(
-                    lambda x: jax.device_put(x, self.sharding), batch)
+                    lambda x: place_sharded(x, self.sharding), batch)
             return jax.tree.map(jax.device_put, batch)
 
         def produce():

@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ssim import (MSSSIM_WEIGHTS, default_sigma, downsample_half,
                    gaussian_kernel, infer_data_range, ssim_maps)
@@ -218,8 +219,11 @@ class PixelLoss:
         raise ValueError(mode)
 
 
-_SOBEL_X = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-_SOBEL_Y = jnp.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], jnp.float32)
+# numpy (not jnp) on purpose: module-level device constants would
+# initialize the XLA backend at import time, breaking
+# jax.distributed.initialize() in the --multihost path
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+_SOBEL_Y = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.float32)
 
 
 def sobel_xy(img):

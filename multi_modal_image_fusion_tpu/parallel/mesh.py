@@ -21,9 +21,39 @@ Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the
 same code then spans hosts, with XLA routing collectives over ICI/DCN.
 """
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_multihost():
+    """Initialize the JAX distributed runtime for multi-host training.
+
+    Honors the reference launcher's env contract (reference common.py:
+    96-102 reads MASTER_ADDR / RANK / WORLD_SIZE): when WORLD_SIZE is set,
+    those vars configure the coordinator explicitly — so `RANK=0
+    WORLD_SIZE=2 MASTER_ADDR=host0 MASTER_PORT=12355 python -m ...train
+    --multihost` works on any cluster. Without them, fall back to
+    `jax.distributed.initialize()` auto-detection (TPU pods, Slurm,
+    OpenMPI)."""
+    world = os.environ.get("WORLD_SIZE")
+    if world is not None and int(world) > 1:
+        addr = os.environ.get("MASTER_ADDR", "127.0.0.1")
+        port = os.environ.get("MASTER_PORT", "12355")
+        jax.distributed.initialize(
+            coordinator_address=f"{addr}:{port}",
+            num_processes=int(world),
+            process_id=int(os.environ.get("RANK", "0")))
+    else:
+        jax.distributed.initialize()
+
+
+def is_main_process():
+    """True on the process that should write checkpoints/logs/TB (the
+    reference gates these on rank 0: train.py:100, 121, 167, 354)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(devices=None, axis_name="data"):
@@ -40,13 +70,26 @@ def replicated_sharding(mesh):
     return NamedSharding(mesh, P())
 
 
+def place_sharded(x, sharding):
+    """Place one host array with `sharding`. Single-process: a plain
+    device_put. Multi-process (every process holds the identical GLOBAL
+    batch — the feeders are seed-deterministic): assemble the global array
+    from each process's addressable shards via make_array_from_callback,
+    which is correct for any device order in the mesh."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_batch(batch, mesh, axis_name="data"):
     """Place a host batch (or tuple of arrays) sharded over the mesh."""
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: place_sharded(x, sh), batch)
 
 
 def replicate(tree, mesh):
     """Replicate params/opt-state across the mesh."""
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: place_sharded(x, sh), tree)

@@ -7,10 +7,14 @@
   train.py:321-324, 78-79)
 
 Expressed as a single optax-compatible step -> lr function (the reference
-mutates optimizer state; we fold everything into a pure schedule).
+mutates optimizer state; we fold everything into a pure schedule). The
+returned schedule also carries a `.host` twin — the same math in numpy —
+so per-iteration lr logging (reference train.py:108-110) costs no device
+dispatch.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def make_lr_schedule(base_lr, steps_per_epoch, num_epochs,
@@ -25,17 +29,22 @@ def make_lr_schedule(base_lr, steps_per_epoch, num_epochs,
     if warmup_method not in ("constant", "linear"):
         raise ValueError("only supported ['constant', 'linear'] method")
 
-    def schedule(step):
-        lr = base_lr * gamma ** jnp.sum(step >= milestone_steps)
+    def _lr(step, xp, steps):
+        lr = base_lr * gamma ** xp.sum(step >= steps)
         if warmup:
             if warmup_method == "constant":
                 # reference common.py:160-161: flat warmup_factor until
                 # warmup_iters, then full LR
-                factor = jnp.asarray(warmup_factor)
+                factor = xp.asarray(warmup_factor)
             else:
-                alpha = jnp.minimum(step / warmup_iters, 1.0)
+                alpha = xp.minimum(step / warmup_iters, 1.0)
                 factor = warmup_factor + (1.0 - warmup_factor) * alpha
-            lr = lr * jnp.where(step < warmup_iters, factor, 1.0)
+            lr = lr * xp.where(step < warmup_iters, factor, 1.0)
         return lr
 
+    def schedule(step):
+        return _lr(step, jnp, milestone_steps)
+
+    schedule.host = lambda step: float(
+        _lr(step, np, np.asarray(milestone_steps)))
     return schedule

@@ -1,23 +1,21 @@
 """Scalar logging: JSONL always (checkpoints/<ts>/scalars.jsonl), plus
-TensorBoard event files when a writer backend is importable — covering the
-reference's SummaryWriter usage (train.py:167, 100-110, 355-356)."""
+TensorBoard event files — covering the reference's SummaryWriter usage
+(train.py:167, 100-110, 355-356). TB events are written by the
+dependency-free writer in utils/tbevents.py (no torch/tensorboard needed;
+files load in stock TensorBoard)."""
 
 import json
 import os
 import time
+
+from .tbevents import TFEventWriter
 
 
 class ScalarWriter:
     def __init__(self, log_dir):
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "scalars.jsonl"), "a")
-        self._tb = None
-        try:  # optional TensorBoard backend
-            from torch.utils.tensorboard import SummaryWriter
-
-            self._tb = SummaryWriter(log_dir)
-        except Exception:
-            pass
+        self._tb = TFEventWriter(log_dir)
 
     def add_scalar(self, tag, value, step):
         self._f.write(json.dumps({

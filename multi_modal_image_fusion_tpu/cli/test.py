@@ -129,9 +129,13 @@ def main(argv=None):
 
     log_path = os.path.join(ckpt_dir, "train.log")
     log_file = open(log_path, "a") if os.path.isfile(log_path) else None
+    pad_bucket = args.pad_bucket
+    if pad_bucket < 0:   # auto: bucket on TPU (per-shape compiles are
+        # 60-100s remote compiles there), exact elsewhere
+        pad_bucket = 128 if jax.default_backend() == "tpu" else 0
     try:
         ssim, avg_time = test_model(model, variables, dataset, save_dir,
-                                    log_file, pad_bucket=args.pad_bucket,
+                                    log_file, pad_bucket=pad_bucket,
                                     fast=args.fast)
         line = (f"ssim: {ssim:.4f}, time: {avg_time * 1000:.3f}ms, "
                 f"fps: {1.0 / avg_time:.3f}")

@@ -64,6 +64,15 @@ def test_train_test_eval_roundtrip(tiny_dataset, tmp_path):
     log = open(os.path.join(ckpt_dir, "train.log")).read()
     assert "fps" in log
 
+    # pad_bucket parity: bucketed inference (128x128 inputs padded to 160)
+    # must match exact-shape inference within the documented 1e-3 budget
+    ssim_b, _ = test_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--ckpt", ckpt_name,
+        "--pad_bucket", "160",
+    ])
+    assert abs(ssim_b - ssim) < 1e-3, (ssim_b, ssim)
+
     xlsx = eval_cli.main([
         "--data", "tinyset", "--data_root", tiny_dataset,
         "--ckpt_root", ckpt_root, "--ckpt", ckpt_name,

@@ -118,7 +118,10 @@ def main_train():
 
     model = create_model(model_name)
     schedule = make_lr_schedule(1e-4, steps_per_epoch=1000, num_epochs=12)
-    trainer = Trainer(model, schedule)
+    # BENCH_FAST_TRAIN=1 routes the convs through the differentiable Pallas
+    # kernel (ops/pallas/conv_vjp)
+    trainer = Trainer(model, schedule,
+                      fast=bool(os.environ.get("BENCH_FAST_TRAIN")))
 
     r = np.random.RandomState(0)
     img1 = jnp.asarray(r.rand(batch, size, size, 1), jnp.float32)
@@ -134,7 +137,10 @@ def main_train():
             return trainer._train_step_impl(st, a, b)[0]
         return jax.lax.fori_loop(0, n, body, state)
 
-    out = bench_loop(state, img1, img2, iters)       # compile + warmup
+    from multi_modal_image_fusion_tpu.ops.layers import fast_training
+
+    with fast_training(trainer.fast):   # scope must be live at trace time
+        out = bench_loop(state, img1, img2, iters)   # compile + warmup
     float(jax.tree.leaves(out.params)[0].reshape(-1)[0])
 
     img1 = jnp.asarray(r.rand(batch, size, size, 1), jnp.float32)

@@ -74,6 +74,10 @@ def get_train_parser():
                         "pretraining)")
     _bool_flag(p, "profile", False,
                "capture a jax.profiler trace of the first training epoch")
+    _bool_flag(p, "fast_train", False,
+               "route eligible convs through the differentiable Pallas "
+               "kernel (custom-VJP shifted-GEMM; grad parity 1e-3, "
+               "tests/test_conv_vjp.py); TPU only, no-op elsewhere")
     _bool_flag(p, "multihost", False,
                "initialize jax.distributed before building the mesh "
                "(multi-host training: the same data-parallel code then "

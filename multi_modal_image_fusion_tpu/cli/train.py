@@ -209,7 +209,7 @@ def main(argv=None):
 
     trainer = Trainer(model, schedule, bundle,
                       clip_grad=5.0 if args.clip_grad else None, mesh=mesh,
-                      ae=args.ae)
+                      ae=args.ae, fast=args.fast_train)
 
     sample = next(iter(valid_feeder))[0]
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)

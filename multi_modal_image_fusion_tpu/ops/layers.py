@@ -31,6 +31,12 @@ from flax import linen as nn
 _FAST_INFERENCE = contextvars.ContextVar("mmif_fast_inference",
                                          default=False)
 
+# Opt-in fast training: routes eligible convs through the differentiable
+# kernel wrapper (ops/pallas/conv_vjp.conv_valid_fast — custom VJP with a
+# Pallas dx conv and big-K einsum dw). Enabled by the train CLI/bench.
+_FAST_TRAINING = contextvars.ContextVar("mmif_fast_training",
+                                        default=False)
+
 
 @contextlib.contextmanager
 def fast_inference(enable=True):
@@ -39,6 +45,15 @@ def fast_inference(enable=True):
         yield
     finally:
         _FAST_INFERENCE.reset(token)
+
+
+@contextlib.contextmanager
+def fast_training(enable=True):
+    token = _FAST_TRAINING.set(enable)
+    try:
+        yield
+    finally:
+        _FAST_TRAINING.reset(token)
 
 
 def chain_ready():
@@ -58,7 +73,8 @@ def chain_ready():
 
 def _pallas_conv_eligible(in_ch, ksize, stride, groups, dilation,
                           transpose):
-    if not _FAST_INFERENCE.get() or os.environ.get("MMIF_NO_PALLAS"):
+    if not (_FAST_INFERENCE.get() or _FAST_TRAINING.get()) \
+            or os.environ.get("MMIF_NO_PALLAS"):
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -334,7 +350,13 @@ class ConvLayer(nn.Module):
                        and (self.act is None or self.act in _FUSABLE_ACTS))
             if pad:
                 x = pad2d(x, pad, self.pad_mode)
-            if use_pallas:
+            if use_pallas and _FAST_TRAINING.get() and train:
+                # differentiable kernel route: bias/norm/act stay as XLA
+                # ops below (autodiff handles them; the conv dominates)
+                from .pallas.conv_vjp import conv_valid_fast
+
+                y = conv_valid_fast(x, kernel.astype(x.dtype), self.ksize)
+            elif use_pallas:
                 from .pallas.conv_kernel import conv_tlane_dma
 
                 # rows=16 is the measured sweet spot at c<=32; larger

@@ -63,9 +63,13 @@ class Trainer:
     """
 
     def __init__(self, model, lr_schedule, loss_bundle=None, clip_grad=5.0,
-                 betas=(0.9, 0.999), mesh=None, ae=False):
+                 betas=(0.9, 0.999), mesh=None, ae=False, fast=False):
         self.model = model
         self.ae = ae
+        # fast=True routes eligible convs through the differentiable Pallas
+        # kernel (ops/pallas/conv_vjp) — the scope must be active when the
+        # step is TRACED, so the step wrappers re-enter it on every call
+        self.fast = fast
         self.loss_bundle = loss_bundle or make_loss_bundle()
         # decide mask support once from the signature: catching TypeError
         # per step would swallow genuine TypeErrors raised *inside* a
@@ -150,13 +154,19 @@ class Trainer:
             _, parts = self.loss_bundle(img1, tgt2, imgf)
         return parts, imgf
 
+    def _fast_scope(self):
+        from ..ops.layers import fast_training
+        return fast_training(self.fast)
+
     def train_step(self, state, batch):
         img1, img2 = self._unpack(batch)
-        return self._train_step(state, img1, img2)
+        with self._fast_scope():
+            return self._train_step(state, img1, img2)
 
     def valid_step(self, state, batch, mask=None):
         """mask: optional (N,) 0/1 array excluding wrap-padded samples from
         the loss average (exact partial-batch semantics, reference
         train.py:82-90)."""
         img1, img2 = self._unpack(batch)
-        return self._valid_step(state, img1, img2, mask)
+        with self._fast_scope():
+            return self._valid_step(state, img1, img2, mask)

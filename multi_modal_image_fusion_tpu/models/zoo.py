@@ -485,6 +485,46 @@ class NestFuse(_FusionModel):
     def decoder(self, feats, train):
         return self.conv_out(self.decode(feats, train), train)
 
+    def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        # NCHW-resident multi-scale fast path (round 3): the whole 4-scale
+        # encoder/fusion/U-Net++(or 3+) decoder runs in the conv kernel's
+        # guard layout; scale boundaries (maxpool down, nearest/bilinear
+        # up + shape repair, channel concats) stay NCHW via
+        # ops/pallas/chain_ops, so no per-layer pad/transpose anywhere.
+        if (img2 is not None and not train and chain_ready()
+                and self.down_mode == "maxpool"
+                and self.fusion_mode in ("sa", "ca", "sca", "wavg")):
+            from ..ops.pallas.chain_ops import chain_max_pool
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
+            hws = [(h, w)]
+            for _ in range(3):
+                ph, pw = hws[-1]
+                hws.append((ph // 2, pw // 2))
+            x = self.conv_in(t, train=False, chain_hw=hws[0])
+            x1 = self.CB1_0(x, train=False, chain_hw=hws[0])
+            d1, _ = chain_max_pool(x1, *hws[0])
+            x2 = self.CB2_0(d1, train=False, chain_hw=hws[1])
+            d2, _ = chain_max_pool(x2, *hws[1])
+            x3 = self.CB3_0(d2, train=False, chain_hw=hws[2])
+            d3, _ = chain_max_pool(x3, *hws[2])
+            x4 = self.CB4_0(d3, train=False, chain_hw=hws[3])
+            fused = self._chain_fuse((x1, x2, x3, x4), n, hws)
+            y = self.decode(fused, train=False, chain_hws=hws)
+            out = self.conv_out(y, train=False, chain_hw=hws[0])
+            return chain_exit(out, h, w)
+        return super().__call__(img1, img2, train)
+
+    def _chain_fuse(self, feats, n, hws):
+        return tuple(
+            attention_fusion(f[:n], f[n:], self.fusion_mode, caxis=1,
+                             valid_hw=hw)
+            for f, hw in zip(feats, hws))
+
 
 class RFNNest(NestFuse):
     """NestFuse + learned per-scale RFN fusion modules."""
@@ -503,6 +543,12 @@ class RFNNest(NestFuse):
             self.RFN3(feats1[2], feats2[2], train),
             self.RFN4(feats1[3], feats2[3], train),
         )
+
+    def _chain_fuse(self, feats, n, hws):
+        rfns = (self.RFN1, self.RFN2, self.RFN3, self.RFN4)
+        return tuple(
+            r(f[:n], f[n:], train=False, chain_hw=hw)
+            for r, f, hw in zip(rfns, feats, hws))
 
 
 class UNFusion(_FusionModel):

@@ -465,18 +465,19 @@ class DCBlock(nn.Module):
 
 class ConvBlock(nn.Module):
     """3x3 -> 1x1 two-conv block, hid = in//2 (NestFuse, RFNNest,
-    MAFusion)."""
+    MAFusion). chain_hw: run on a guard-layout NCHW chain tensor."""
 
     out_ch: int
     ksize1: int = 3
     ksize2: int = 1
 
     @nn.compact
-    def __call__(self, x, train=False):
-        hid_ch = x.shape[-1] // 2
-        y = ConvLayer(hid_ch, ksize=self.ksize1, name="conv1")(x, train)
-        return ConvLayer(self.out_ch, ksize=self.ksize2, name="conv2")(y,
-                                                                       train)
+    def __call__(self, x, train=False, chain_hw=None):
+        hid_ch = (x.shape[1] if chain_hw is not None else x.shape[-1]) // 2
+        y = ConvLayer(hid_ch, ksize=self.ksize1, name="conv1")(
+            x, train, chain_hw=chain_hw)
+        return ConvLayer(self.out_ch, ksize=self.ksize2, name="conv2")(
+            y, train, chain_hw=chain_hw)
 
 
 class ECB(ConvBlock):
@@ -492,20 +493,27 @@ class DCB(ConvBlock):
 
 
 class RFN(nn.Module):
-    """Residual fusion network (RFN-Nest): learned two-input fusion."""
+    """Residual fusion network (RFN-Nest): learned two-input fusion.
+    chain_hw: run on guard-layout chain tensors (concat on axis 1)."""
 
     num_ch: int
 
     @nn.compact
-    def __call__(self, x1, x2, train=False):
-        f_res = ConvLayer(self.num_ch, name="res")(concat_fusion((x1, x2)),
-                                                   train)
-        f1 = ConvLayer(self.num_ch, name="conv1")(x1, train)
-        f2 = ConvLayer(self.num_ch, name="conv2")(x2, train)
-        y = concat_fusion((f1, f2))
-        y = ConvLayer(self.num_ch, ksize=1, name="fuse1")(y, train)
-        y = ConvLayer(self.num_ch, name="fuse2")(y, train)
-        y = ConvLayer(self.num_ch, name="fuse3")(y, train)
+    def __call__(self, x1, x2, train=False, chain_hw=None):
+        ax = 1 if chain_hw is not None else -1
+        f_res = ConvLayer(self.num_ch, name="res")(
+            concat_fusion((x1, x2), axis=ax), train, chain_hw=chain_hw)
+        f1 = ConvLayer(self.num_ch, name="conv1")(x1, train,
+                                                  chain_hw=chain_hw)
+        f2 = ConvLayer(self.num_ch, name="conv2")(x2, train,
+                                                  chain_hw=chain_hw)
+        y = concat_fusion((f1, f2), axis=ax)
+        y = ConvLayer(self.num_ch, ksize=1, name="fuse1")(y, train,
+                                                          chain_hw=chain_hw)
+        y = ConvLayer(self.num_ch, name="fuse2")(y, train,
+                                                 chain_hw=chain_hw)
+        y = ConvLayer(self.num_ch, name="fuse3")(y, train,
+                                                 chain_hw=chain_hw)
         return y + f_res
 
 
@@ -644,16 +652,45 @@ class LSDecoder(nn.Module):
 
 
 class NestDecoder(nn.Module):
-    """U-Net++ nested decoder."""
+    """U-Net++ nested decoder. chain_hws: per-scale valid (h, w) — feats
+    are guard-layout chain tensors and the ups/concats stay
+    NCHW-resident (ops/pallas/chain_ops)."""
 
     block: Callable
     num_ch: Sequence[int]
     up_mode: str = "bilinear"
 
     @nn.compact
-    def __call__(self, feats, train=False):
-        up = Upsample(self.up_mode, 2, name="up")
+    def __call__(self, feats, train=False, chain_hws=None):
         blk = self.block
+        if chain_hws is not None:
+            from .pallas.chain_ops import chain_upsample
+            hws = chain_hws
+
+            def up(xt, i_from, i_to):
+                return chain_upsample(xt, *hws[i_from], hws[i_to], 2,
+                                      self.up_mode)[0]
+
+            def cat(ts):
+                return concat_fusion(ts, axis=1)
+
+            def run(name, ch, ts, i):
+                return blk(ch, name=name)(cat(ts), train, chain_hw=hws[i])
+
+            x1_1 = run("DB1_1", self.num_ch[0],
+                       (feats[0], up(feats[1], 1, 0)), 0)
+            x2_1 = run("DB2_1", self.num_ch[1],
+                       (feats[1], up(feats[2], 2, 1)), 1)
+            x3_1 = run("DB3_1", self.num_ch[2],
+                       (feats[2], up(feats[3], 3, 2)), 2)
+            x1_2 = run("DB1_2", self.num_ch[0],
+                       (feats[0], x1_1, up(x2_1, 1, 0)), 0)
+            x2_2 = run("DB2_2", self.num_ch[1],
+                       (feats[1], x2_1, up(x3_1, 2, 1)), 1)
+            x1_3 = run("DB1_3", self.num_ch[0],
+                       (feats[0], x1_1, x1_2, up(x2_2, 1, 0)), 0)
+            return x1_3
+        up = Upsample(self.up_mode, 2, name="up")
         x1_1 = blk(self.num_ch[0], name="DB1_1")(
             concat_fusion((feats[0], up(feats[1], feats[0].shape))), train)
         x2_1 = blk(self.num_ch[1], name="DB2_1")(
@@ -680,8 +717,34 @@ class FSDecoder(nn.Module):
     up_mode: str = "bilinear"
 
     @nn.compact
-    def __call__(self, feats, train=False):
+    def __call__(self, feats, train=False, chain_hws=None):
         blk = self.block
+        if chain_hws is not None:
+            from .pallas.chain_ops import chain_max_pool, chain_upsample
+            hws = chain_hws
+
+            def down(xt, i_from, i_to, window):
+                return chain_max_pool(xt, *hws[i_from], window,
+                                      to_hw=hws[i_to])[0]
+
+            def up(xt, i_from, i_to, scale):
+                return chain_upsample(xt, *hws[i_from], hws[i_to], scale,
+                                      self.up_mode)[0]
+
+            def run(name, ch, ts, i):
+                return blk(ch, name=name)(concat_fusion(ts, axis=1), train,
+                                          chain_hw=hws[i])
+
+            y3 = run("DB3", self.num_ch[2],
+                     (down(feats[0], 0, 2, 4), down(feats[1], 1, 2, 2),
+                      feats[2], up(feats[3], 3, 2, 2)), 2)
+            y2 = run("DB2", self.num_ch[1],
+                     (down(feats[0], 0, 1, 2), feats[1], up(y3, 2, 1, 2),
+                      up(feats[3], 3, 1, 4)), 1)
+            y1 = run("DB1", self.num_ch[0],
+                     (feats[0], up(y2, 1, 0, 2), up(y3, 2, 0, 4),
+                      up(feats[3], 3, 0, 8)), 0)
+            return y1
         down1 = Downsample(2, 2, name="down1")
         down2 = Downsample(4, 4, name="down2")
         up1 = Upsample(self.up_mode, 2, name="up1")

@@ -41,27 +41,32 @@ def concat_fusion(tensors, axis=-1):
 
 
 def attention_fusion(t1, t2, mode="sca", spatial_mode="l1",
-                     channel_mode="avg", caxis=-1):
+                     channel_mode="avg", caxis=-1, valid_hw=None):
     """reference core/fusion.py:42-59
 
-    caxis: channel axis (-1 NHWC; 1 for guard-layout chain tensors —
-    only 'sa' with a per-pixel spatial_mode is chain-safe, since channel
-    pooling reduces over spatial positions and would mix guard pixels)."""
+    caxis: channel axis (-1 NHWC; 1 for guard-layout chain tensors).
+    Chain-safe combinations: per-pixel spatial modes always (the attention
+    map mirrors along with the tensor, so guard bands stay coherent);
+    channel modes avg/max need `valid_hw` so the spatial reduction covers
+    only the valid region. 'nl'/'nuclear' pooling stays NHWC-only."""
     if caxis != -1:
         # hard error (not assert): under `python -O` a silent fall-through
         # would unpack the NCHW chain tensor as NHWC and corrupt results
-        if mode != "sa" or spatial_mode == "nl":
+        if spatial_mode == "nl" or (
+                mode != "sa" and (valid_hw is None
+                                  or channel_mode not in ("avg", "max"))):
             raise ValueError(
                 f"attention_fusion(mode={mode!r}, spatial_mode="
-                f"{spatial_mode!r}) is not chain-safe (caxis={caxis})")
-        return spatial_fusion(t1, t2, spatial_mode, softmax=False,
-                              caxis=caxis)
-    f_spatial = spatial_fusion(t1, t2, spatial_mode, softmax=False)
-    f_channel = channel_fusion(t1, t2, channel_mode, softmax=False)
-
+                f"{spatial_mode!r}, channel_mode={channel_mode!r}, "
+                f"valid_hw={valid_hw}) is not chain-safe (caxis={caxis})")
+    f_spatial = spatial_fusion(t1, t2, spatial_mode, softmax=False,
+                               caxis=caxis)
     if mode == "sa":
         return f_spatial
-    elif mode == "ca":
+    f_channel = channel_fusion(t1, t2, channel_mode, softmax=False,
+                               caxis=caxis, valid_hw=valid_hw)
+
+    if mode == "ca":
         return f_channel
     elif mode == "sca":
         return element_fusion(f_spatial, f_channel, "mean")
@@ -80,10 +85,11 @@ def spatial_fusion(t1, t2, mode="l1", softmax=True, caxis=-1):
     return weighted_fusion(t1, t2, s1, s2)
 
 
-def channel_fusion(t1, t2, mode="avg", softmax=True):
+def channel_fusion(t1, t2, mode="avg", softmax=True, caxis=-1,
+                   valid_hw=None):
     """reference core/fusion.py:73-81"""
-    c1 = channel_pooling(t1, mode)
-    c2 = channel_pooling(t2, mode)
+    c1 = channel_pooling(t1, mode, caxis=caxis, valid_hw=valid_hw)
+    c2 = channel_pooling(t2, mode, caxis=caxis, valid_hw=valid_hw)
     if softmax:
         c1 = jnp.exp(c1)
         c2 = jnp.exp(c2)
@@ -187,9 +193,23 @@ def _nl_spatial_blocked(q, k, block=4096):
     return out[:, :n]
 
 
-def channel_pooling(t, mode="avg"):
+def channel_pooling(t, mode="avg", caxis=-1, valid_hw=None):
     """Per-channel spatial pooling -> (N,1,1,C) vector, or the 'nuclear' /
-    'nl' attention variants (reference core/fusion.py:120-153)."""
+    'nl' attention variants (reference core/fusion.py:120-153).
+
+    caxis=1 (guard-layout chain tensors): avg/max reduce over the VALID
+    region only (`valid_hw` required — guard bands hold mirrored/stale
+    pixels that must not enter global statistics)."""
+    if caxis == 1:
+        if mode not in ("avg", "max") or valid_hw is None:
+            raise ValueError(
+                f"channel_pooling(mode={mode!r}, valid_hw={valid_hw}) is "
+                "not chain-safe (caxis=1)")
+        from .pallas.chain_ops import chain_valid
+        v = chain_valid(t, *valid_hw)
+        if mode == "avg":
+            return v.mean(axis=(2, 3), keepdims=True)
+        return v.max(axis=(2, 3), keepdims=True)
     b, h, w, c = t.shape
 
     if mode == "avg":

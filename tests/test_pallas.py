@@ -210,7 +210,10 @@ def test_chain_conv_parity():
 
 @pytest.mark.parametrize("name", ["deepfuse", "densefuse", "vifnet",
                                   "pfnetv1", "ifcnn", "difnet",
-                                  "pfnetv2"])
+                                  "pfnetv2",
+                                  # multi-scale (round 3): guard-layout
+                                  # scale transitions via chain_ops
+                                  "nestfuse", "rfnnest", "mafusion"])
 def test_model_chain_fast_path_parity(name, monkeypatch):
     """Full-model guard-layout fast path (MMIF_CHAIN_INTERPRET forces the
     chain kernels in interpret mode on CPU) vs the normal forward."""

@@ -599,6 +599,34 @@ class UNFusion(_FusionModel):
     def decoder(self, feats, train):
         return self.conv_out(self.decode(feats, train), train)
 
+    def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        # Hybrid fast path: the encoder keeps the NHWC route (its
+        # stride-2 down convs are not chain-eligible; eligible stride-1
+        # convs still use the standalone kernel), then fusion + the
+        # HEAVY U-Net++ decoder (16/64/256/1024 channels) run
+        # NCHW-resident — one chain_enter per scale instead of a
+        # pad+2 transposes per decoder conv.
+        if (img2 is not None and not train and chain_ready()
+                and self.fusion_mode in ("sa", "ca", "sca", "wavg")):
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            feats = self.encoder(jnp.concatenate([img1, img2], axis=0),
+                                 False)
+            hws = [(f.shape[1], f.shape[2]) for f in feats]
+            fused = []
+            for f, hw in zip(feats, hws):
+                t = chain_enter(f)
+                fused.append(attention_fusion(t[:n], t[n:],
+                                              self.fusion_mode, caxis=1,
+                                              valid_hw=hw))
+            y = self.decode(fused, train=False, chain_hws=hws)
+            out = self.conv_out(y, train=False, chain_hw=hws[0])
+            return chain_exit(out, h, w)
+        return super().__call__(img1, img2, train)
+
 
 class Res2Fusion(_FusionModel):
     """Dense Res2 blocks + double non-local attention fusion."""

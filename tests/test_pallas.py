@@ -213,7 +213,8 @@ def test_chain_conv_parity():
                                   "pfnetv2",
                                   # multi-scale (round 3): guard-layout
                                   # scale transitions via chain_ops
-                                  "nestfuse", "rfnnest", "mafusion"])
+                                  "nestfuse", "rfnnest", "mafusion",
+                                  "unfusion"])
 def test_model_chain_fast_path_parity(name, monkeypatch):
     """Full-model guard-layout fast path (MMIF_CHAIN_INTERPRET forces the
     chain kernels in interpret mode on CPU) vs the normal forward."""

@@ -19,6 +19,7 @@ Model -> reference mapping (file:line in /root/reference/core/model.py):
   IFCNN 514-528, DIFNet 531-552, PMGI 555-624, MyFusion 630-842.
 """
 
+import functools
 from typing import Optional, Sequence, Union
 
 import jax
@@ -388,6 +389,32 @@ class DBNet(_FusionModel):
         for layer in self.dec:
             feat = layer(feat, train)
         return feat
+
+    def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        # Hybrid fast path: encoder stays NHWC (the semantic branch's
+        # stride-2 convs are not chain-eligible; its stride-1 convs use
+        # the standalone kernel), then fusion + the 4-conv decoder run
+        # NCHW-resident.
+        if (img2 is not None and not train and chain_ready()
+                and self.fusion_mode in ("sum", "avg")):
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            feat = self.encoder(jnp.concatenate([img1, img2], axis=0),
+                                False)
+            t = chain_enter(feat)
+            if self.fusion_mode == "sum":
+                fused = element_fusion(t[:n], t[n:], "sum")
+            else:
+                fused = attention_fusion(t[:n], t[n:], "ca",
+                                         channel_mode="avg", caxis=1,
+                                         valid_hw=(h, w))
+            for layer in self.dec:
+                fused = layer(fused, train=False, chain_hw=(h, w))
+            return chain_exit(fused, h, w)
+        return super().__call__(img1, img2, train)
 
 
 class SEDRFuse(nn.Module):
@@ -831,37 +858,56 @@ class PMGI(nn.Module):
         self.decode = ConvLayer(1, ksize=1, act="tanh", name="decode")
 
     def __call__(self, img1, img2, train=False):
-        x1 = concat_fusion((img1, img1, img2))
-        x2 = concat_fusion((img2, img2, img1))
-        f0_1 = self.gradient[0](x1, train)
-        f0_2 = self.intensity[0](x2, train)
+        from ..ops.layers import chain_ready
 
-        f1_1 = self.gradient[1](f0_1, train)
-        f1_2 = self.intensity[1](f0_2, train)
-        f1 = concat_fusion((f1_1, f1_2))
-        f1_conv1 = self.transfer1[0](f1, train)
-        f1_conv2 = self.transfer2[1](f1, train)     # quirk: not transfer1[1]
+        # Whole-graph chain fast path (round 3): every PMGI op is a
+        # stride-1 conv (BN folded in eval) or a channel concat, so both
+        # paths run NCHW-resident end to end.
+        chain = not train and chain_ready()
+        if chain:
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            h, w = img1.shape[1], img1.shape[2]
+            kw = dict(train=False, chain_hw=(h, w))
+            cat = functools.partial(concat_fusion, axis=1)
+            x1 = chain_enter(concat_fusion((img1, img1, img2)))
+            x2 = chain_enter(concat_fusion((img2, img2, img1)))
+        else:
+            kw = dict(train=train)
+            cat = concat_fusion
+            x1 = concat_fusion((img1, img1, img2))
+            x2 = concat_fusion((img2, img2, img1))
+        f0_1 = self.gradient[0](x1, **kw)
+        f0_2 = self.intensity[0](x2, **kw)
+
+        f1_1 = self.gradient[1](f0_1, **kw)
+        f1_2 = self.intensity[1](f0_2, **kw)
+        f1 = cat((f1_1, f1_2))
+        f1_conv1 = self.transfer1[0](f1, **kw)
+        f1_conv2 = self.transfer2[1](f1, **kw)      # quirk: not transfer1[1]
         # materialize the dead layer's params (flax creates params only for
         # called modules); its output is unused and DCE'd by XLA.
-        _ = self.transfer1[1](f1, train)
-        f1_fuse1 = concat_fusion((f0_1, f1_1, f1_conv1))
-        f1_fuse2 = concat_fusion((f0_2, f1_2, f1_conv2))
+        _ = self.transfer1[1](f1, **kw)
+        f1_fuse1 = cat((f0_1, f1_1, f1_conv1))
+        f1_fuse2 = cat((f0_2, f1_2, f1_conv2))
 
-        f2_1 = self.gradient[2](f1_fuse1, train)
-        f2_2 = self.intensity[2](f1_fuse2, train)
-        f2 = concat_fusion((f2_1, f2_2))
-        f2_conv1 = self.transfer2[0](f2, train)
-        f2_conv2 = self.transfer2[1](f2, train)
-        f2_fuse1 = concat_fusion((f0_1, f1_1, f2_1, f2_conv1))
-        f2_fuse2 = concat_fusion((f0_2, f1_2, f2_2, f2_conv2))
+        f2_1 = self.gradient[2](f1_fuse1, **kw)
+        f2_2 = self.intensity[2](f1_fuse2, **kw)
+        f2 = cat((f2_1, f2_2))
+        f2_conv1 = self.transfer2[0](f2, **kw)
+        f2_conv2 = self.transfer2[1](f2, **kw)
+        f2_fuse1 = cat((f0_1, f1_1, f2_1, f2_conv1))
+        f2_fuse2 = cat((f0_2, f1_2, f2_2, f2_conv2))
 
-        f3_1 = self.gradient[3](f2_fuse1, train)
-        f3_2 = self.intensity[3](f2_fuse2, train)
+        f3_1 = self.gradient[3](f2_fuse1, **kw)
+        f3_2 = self.intensity[3](f2_fuse2, **kw)
 
-        feats = concat_fusion(
-            (f0_1, f0_2, f1_1, f1_2, f2_1, f2_2, f3_1, f3_2))
-        out = self.decode(feats, train)
-        return out / 2.0 + 0.5
+        feats = cat((f0_1, f0_2, f1_1, f1_2, f2_1, f2_2, f3_1, f3_2))
+        out = self.decode(feats, **kw)
+        out = out / 2.0 + 0.5
+        if chain:
+            return chain_exit(out, h, w)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -222,13 +222,21 @@ class DeepFuse(_FusionModel):
             t = chain_enter(jnp.concatenate([img1, img2], axis=0))
             for layer in self.enc:
                 t = layer(t, train=False, chain_hw=(h, w))
-            t = element_fusion(t[:n], t[n:], self.fusion_mode)
             # NOTE: running dec1+dec2 through conv_tlane_chain_pair (the
             # fused two-layer strip kernel) measured SLOWER end-to-end
             # (78.3 vs 80.5 pairs/s): the 2*pb-row overlap recompute plus
             # the mid-halo mirror passes cost more than dec2's saved
             # launch — kept unfused (docs/PERFORMANCE.md round 2).
-            for layer in self.dec:
+            if self.fusion_mode == "sum":
+                # elementwise-sum fusion folds into dec0's input DMA
+                # (kills the 11.5 ms XLA slice+add round trip,
+                # docs/PERFORMANCE.md round-3 profile)
+                t = self.dec[0](t, train=False, chain_hw=(h, w),
+                                chain_fuse_n=n)
+            else:
+                t = element_fusion(t[:n], t[n:], self.fusion_mode)
+                t = self.dec[0](t, train=False, chain_hw=(h, w))
+            for layer in self.dec[1:]:
                 t = layer(t, train=False, chain_hw=(h, w))
             return chain_exit(t, h, w)
         return super().__call__(img1, img2, train)

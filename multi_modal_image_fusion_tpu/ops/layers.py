@@ -269,7 +269,7 @@ class ConvLayer(nn.Module):
     pad_mode: str = "reflect"
 
     @nn.compact
-    def __call__(self, x, train=False, chain_hw=None):
+    def __call__(self, x, train=False, chain_hw=None, chain_fuse_n=0):
         pad = self.ksize // 2 if self.padding is None else self.padding
         bias = self.use_bias
         if bias is None:
@@ -288,8 +288,7 @@ class ConvLayer(nn.Module):
                     # chain halos are reflect-mirrored (chain_refresh_halo);
                     # a zero/constant-pad layer must not take this path
                     and (self.ksize == 1 or self.pad_mode == "reflect"))
-            from .pallas.conv_kernel import (chain_refresh_halo,
-                                             conv_tlane_chain)
+            from .pallas.conv_kernel import conv_tlane_chain
 
             in_ch = x.shape[1]
             kernel = self.param(
@@ -307,19 +306,26 @@ class ConvLayer(nn.Module):
             h, w = chain_hw
 
             if self.ksize == 1:
+                if chain_fuse_n:
+                    x = x[:chain_fuse_n] + x[chain_fuse_n:]
                 y = jnp.einsum("bchw,cd->bdhw", x,
                                kernel[0, 0].astype(x.dtype))
                 if eff_bias is not None:
                     y = y + eff_bias[None, :, None, None].astype(y.dtype)
                 return get_act(self.act)(y)
 
-            xt = chain_refresh_halo(x, h, w, self.ksize // 2)
             fuse_ba = self.act is None or self.act in _FUSABLE_ACTS
-            y = conv_tlane_chain(xt, kernel.astype(x.dtype), self.ksize,
+            # halo=True mirrors the reflect halo in-kernel: the XLA
+            # chain_refresh_halo costs ~15 ms/layer at full res
+            # (docs/PERFORMANCE.md round-3 profile). chain_fuse_n folds a
+            # preceding elementwise-sum siamese fusion into this conv's
+            # input DMA.
+            y = conv_tlane_chain(x, kernel.astype(x.dtype), self.ksize,
                                  h=h, w_valid=w,
                                  bias=eff_bias if fuse_ba else None,
                                  act=self.act if fuse_ba else None,
-                                 rows=16,
+                                 rows=16, halo=True,
+                                 fuse_n=chain_fuse_n,
                                  interpret=bool(
                                      os.environ.get("MMIF_CHAIN_INTERPRET")))
             if not fuse_ba:

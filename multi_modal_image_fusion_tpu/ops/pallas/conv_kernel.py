@@ -301,7 +301,8 @@ def chain_refresh_halo(xt, h, w, p):
 
 
 def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
-                       out_dtype, kw_chunk, has_bias, act, p_half):
+                       out_dtype, kw_chunk, has_bias, act, p_half,
+                       halo_hw, bot_strips, fuse_n):
     """conv_tlane_dma's strip loop on the guard layout: the input's
     reflect halo is already in the guard bands and the output lands at the
     same (GUARD, WG) offset, so there is no pad, no transpose, and no crop
@@ -311,6 +312,19 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
     the lane range where that index is in [0, wp) — the shrunken edges only
     ever touch guard lanes (|kw - p_half| <= p_half <= CHAIN_WG). kw ==
     p_half covers the full width and goes first as the accumulator init.
+
+    halo_hw: when set to the valid (h, w), the reflect halo is mirrored
+    IN-KERNEL on each DMA'd strip (rows at the two H-boundary strips via
+    static copies under pl.when on the global strip index, lanes on every
+    strip) — the XLA chain_refresh_halo's four dynamic-update-slices cost
+    ~15 ms/layer at full res (docs/PERFORMANCE.md round-3 profile) because
+    XLA materializes full-buffer copies; here the mirrors are sub-
+    microsecond VMEM row/column copies. bot_strips: static [(global strip
+    index, t-row of valid row h)] list for the bottom boundary.
+
+    fuse_n: when >0, the kernel also reads the strip at batch b + fuse_n
+    and ADDS it during staging — elementwise-sum siamese fusion folded
+    into the consumer conv's prologue (kills the separate XLA round trip).
     """
     if has_bias:
         (x_ref, w_ref, b_ref, out_ref, t_ref, a_ref, acc_ref, stage_ref,
@@ -322,13 +336,14 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
     b = pl.program_id(0)
     g = pl.program_id(1)
     h0 = g * rows * hsub
+    n_slots = 4 if fuse_n else 2
 
-    def in_dma(slot, j):
+    def in_dma(slot, j, b_off=0):
         # input rows [GUARD + h0 + j*rows - 8, +tdma): the lead-8 block
         # covers the p_half-row top halo and keeps every start 8-aligned
         start = CHAIN_GUARD - 8 + h0 + j * rows
         return pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(start, tdma), :],
+            x_ref.at[b + b_off, :, pl.ds(start, tdma), :],
             t_ref.at[slot], in_sems.at[slot])
 
     def out_dma(slot, j):
@@ -338,9 +353,43 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
             out_sems.at[slot])
 
     in_dma(0, 0).start()
+    if fuse_n:
+        in_dma(2, 0, fuse_n).start()
 
     # kw order: p_half first (full-width assignment), then the rest
     kw_order = [p_half] + [kw for kw in range(k) if kw != p_half]
+
+    def _mirror(slot):
+        """Reflect halo on the staged strip: rows at the H boundaries
+        (static copies, boundary strips only), then lanes every strip.
+        Row mirrors run full-width and lane mirrors full-height, so the
+        corners compose exactly like chain_refresh_halo."""
+        wv = halo_hw[1]
+
+        def row_patches(j):
+            sgj = g * hsub + j
+
+            @pl.when(sgj == 0)
+            def _():
+                for ii in range(p_half):
+                    t_ref[slot, :, 7 - ii:8 - ii, :] = \
+                        t_ref[slot, :, 9 + ii:10 + ii, :]
+            for s, th in bot_strips:
+                @pl.when(sgj == s)
+                def _(th=th):
+                    for ii in range(p_half):
+                        t_ref[slot, :, th + ii:th + ii + 1, :] = \
+                            t_ref[slot, :, th - 2 - ii:th - 1 - ii, :]
+
+        def lane_patches():
+            for jj in range(p_half):
+                t_ref[slot, :, :, CHAIN_WG - 1 - jj:CHAIN_WG - jj] = \
+                    t_ref[slot, :, :, CHAIN_WG + 1 + jj:CHAIN_WG + 2 + jj]
+                t_ref[slot, :, :,
+                      CHAIN_WG + wv + jj:CHAIN_WG + wv + jj + 1] = \
+                    t_ref[slot, :, :,
+                          CHAIN_WG + wv - 2 - jj:CHAIN_WG + wv - 1 - jj]
+        return row_patches, lane_patches
 
     def strip(j, carry):
         slot = jax.lax.rem(j, 2)
@@ -348,8 +397,17 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
         @pl.when(j + 1 < hsub)
         def _():
             in_dma(1 - slot, j + 1).start()
+            if fuse_n:
+                in_dma(2 + (1 - slot), j + 1, fuse_n).start()
 
         in_dma(slot, j).wait()
+        if fuse_n:
+            in_dma(2 + slot, j, fuse_n).wait()
+            t_ref[slot] = t_ref[slot] + t_ref[2 + slot]
+        if halo_hw is not None:
+            row_patches, lane_patches = _mirror(slot)
+            row_patches(j)
+            lane_patches()
 
         for kh in range(k):
             a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
@@ -393,19 +451,32 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "h", "w_valid", "interpret",
-                                    "hsub", "kw_chunk", "rows", "act"))
+                                    "hsub", "kw_chunk", "rows", "act",
+                                    "halo", "fuse_n"))
 def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
-                     hsub=None, kw_chunk=7, rows=16, interpret=False):
+                     hsub=None, kw_chunk=7, rows=16, halo=False, fuse_n=0,
+                     interpret=False):
     """Guard-layout conv: xt (B, C_in, HG, Wp) with valid region
-    (h, w_valid) at (CHAIN_GUARD, CHAIN_WG) and halos ALREADY mirrored into
-    the bands (chain_refresh_halo) -> (B, C_out, HG, Wp), same geometry.
-    w is HWIO (k, k, C_in, C_out); bias/act as in conv_tlane_dma."""
+    (h, w_valid) at (CHAIN_GUARD, CHAIN_WG) -> (B, C_out, HG, Wp), same
+    geometry. w is HWIO (k, k, C_in, C_out); bias/act as in conv_tlane_dma.
+
+    halo=True: the reflect halo is mirrored in-kernel on each DMA'd strip
+    (requires w_valid) — no prior chain_refresh_halo needed. halo=False
+    keeps the legacy contract (halos already in the bands).
+
+    fuse_n>0: xt carries 2*fuse_n batch entries; the kernel computes
+    conv(xt[i] + xt[i + fuse_n]) for i < fuse_n — elementwise-sum siamese
+    fusion folded into this conv's input DMA ('mean' fusion: pre-scale w
+    by 0.5)."""
     w_arg = w
     b, c_in, hg, wp = xt.shape
     c_out = w_arg.shape[-1]
     p_half = k // 2
     assert p_half <= CHAIN_WG and p_half <= CHAIN_GUARD
     assert rows % 8 == 0
+    if fuse_n:
+        assert b == 2 * fuse_n
+    b_out = fuse_n if fuse_n else b
     h8 = -(-h // 8) * 8
     if hsub is None:
         hsub = -(-h8 // rows)
@@ -417,16 +488,30 @@ def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
     assert CHAIN_GUARD + grid_h * strip + (tdma - rows - 8) <= hg, \
         (grid_h, strip, tdma, hg)
 
+    bot_strips = ()
+    if halo:
+        assert w_valid is not None
+        # global strips whose staged read-window [s*rows - 8, +tdma)
+        # touches valid-row h AND that produce output rows < h; th is the
+        # (static) t-slot row of valid-coordinate h
+        bot_strips = tuple(
+            (s, h - s * rows + 8)
+            for s in range(grid_h * hsub)
+            if s * rows < h and s * rows - 8 + tdma > h)
+
     # weights -> [(kh, c), (kw', n)] with kw' in kw_order (p_half first)
     kw_order = [p_half] + [kw for kw in range(k) if kw != p_half]
     wm = jnp.transpose(w_arg, (0, 2, 1, 3)).reshape(k * c_in, k, c_out)
     wm = jnp.concatenate([wm[:, kw] for kw in kw_order], axis=-1)
     wm = wm.astype(xt.dtype)
 
+    n_slots = 4 if fuse_n else 2
     kern = functools.partial(
         _conv_kernel_chain, k=k, rows=rows, hsub=hsub, wp=wp, tdma=tdma,
         c_in=c_in, c_out=c_out, out_dtype=xt.dtype, kw_chunk=kw_chunk,
-        has_bias=bias is not None, act=act, p_half=p_half)
+        has_bias=bias is not None, act=act, p_half=p_half,
+        halo_hw=(h, w_valid) if halo else None, bot_strips=bot_strips,
+        fuse_n=fuse_n)
     operands = [xt, wm]
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -435,16 +520,16 @@ def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, c_out, hg, wp), xt.dtype),
-        grid=(b, grid_h),
+        out_shape=jax.ShapeDtypeStruct((b_out, c_out, hg, wp), xt.dtype),
+        grid=(b_out, grid_h),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, c_in, tdma, wp), xt.dtype),
+            pltpu.VMEM((n_slots, c_in, tdma, wp), xt.dtype),
             pltpu.VMEM((k * c_in, rows, wp), xt.dtype),
             pltpu.VMEM((c_out, rows, wp), jnp.float32),
             pltpu.VMEM((2, c_out, rows, wp), xt.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -38,6 +38,12 @@ def get_train_parser():
     p.add_argument("--bs", default=16, type=int, help="global batch size")
     p.add_argument("--epoch", default=12, type=int, help="num of epochs")
     _bool_flag(p, "use_patches", True, "train with 64x64 patches")
+    _bool_flag(p, "fix_size", True,
+               "with --no-use_patches: crop/resize pairs to 256 "
+               "(reference train.py:192-201 behavior). "
+               "--no-use_patches --no-fix_size trains on FULL-RESOLUTION "
+               "pairs (e.g. 1224x1024 polarization, BASELINE config #4 — "
+               "a config the reference itself cannot run)")
     _bool_flag(p, "warmup", False, "first-epoch lr warmup")
     p.add_argument("--warmup_method", default="linear",
                    choices=["linear", "constant"],

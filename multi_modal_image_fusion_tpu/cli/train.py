@@ -177,10 +177,11 @@ def main(argv=None):
     else:
         train_set = FusionDataset(data_dir, set_name=set_name_train,
                                   set_type="train", img_type=img_type,
-                                  transform=True, fix_size=True, rng=rng)
+                                  transform=True, fix_size=args.fix_size,
+                                  rng=rng)
         valid_set = FusionDataset(data_dir, set_name=set_name_train,
                                   set_type="valid", img_type=img_type,
-                                  fix_size=True, rng=rng)
+                                  fix_size=args.fix_size, rng=rng)
 
     sharding = batch_sharding(mesh)
     train_feeder = Feeder(train_set, args.bs, shuffle=True, drop_last=True,

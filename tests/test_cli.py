@@ -156,3 +156,21 @@ def test_two_stage_training(tiny_dataset, tmp_path):
     ])
     log2 = open(os.path.join(stage2, "train.log")).read()
     assert "initialized params from" in log2
+
+
+def test_train_full_res(tiny_dataset, tmp_path):
+    """--no-use_patches --no-fix_size: full-resolution pair training
+    (BASELINE config #4 shape; the reference always crops, train.py:
+    192-201)."""
+    from multi_modal_image_fusion_tpu.cli import train as train_cli
+
+    ckpt_root = str(tmp_path / "checkpoints")
+    ckpt_dir = train_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--model", "deepfuse",
+        "--bs", "2", "--epoch", "1",
+        "--no-use_patches", "--no-fix_size",
+    ])
+    assert os.path.isfile(os.path.join(ckpt_dir, "epoch_last.ckpt"))
+    log = open(os.path.join(ckpt_dir, "train.log")).read()
+    assert "cost time" in log

@@ -49,7 +49,10 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     H, W = 1224, 1024
-    batch = int(os.environ.get("BENCH_BATCH", "8" if on_tpu else "1"))
+    # b16 is the measured throughput knee (b8 88.8 / b16 101.5 / b24 102.0
+    # / b32 102.4 pairs/s, round 3) — beyond it HBM working-set grows for
+    # ~nothing
+    batch = int(os.environ.get("BENCH_BATCH", "16" if on_tpu else "1"))
     iters = int(os.environ.get("BENCH_ITERS", "10" if on_tpu else "2"))
     model_name = os.environ.get("BENCH_MODEL", "deepfuse")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -80,6 +80,13 @@ def get_train_parser():
                         "pretraining)")
     _bool_flag(p, "profile", False,
                "capture a jax.profiler trace of the first training epoch")
+    p.add_argument("--workers", default=0, type=int,
+                   help="feeder item-loading threads per batch (reference "
+                        "DataLoader num_workers, train.py:209). 0 "
+                        "[default] = single producer, bit-reproducible "
+                        "augmentation stream; N>0 parallelizes imread+"
+                        "augment (augmentation rng draw ORDER then depends "
+                        "on thread timing)")
     _bool_flag(p, "fast_train", False,
                "route eligible convs through the differentiable Pallas "
                "kernel (custom-VJP shifted-GEMM; grad parity 1e-3, "

@@ -185,13 +185,14 @@ def main(argv=None):
 
     sharding = batch_sharding(mesh)
     train_feeder = Feeder(train_set, args.bs, shuffle=True, drop_last=True,
-                          sharding=sharding, seed=args.seed)
+                          sharding=sharding, seed=args.seed,
+                          workers=args.workers)
     # valid keeps the final partial batch (reference DataLoader default);
     # train drops it so the jit'd step keeps one static shape. with_mask
     # excludes wrap-padded duplicates from the valid loss average.
     valid_feeder = Feeder(valid_set, args.bs, shuffle=False,
                           drop_last=False, sharding=sharding,
-                          with_mask=True)
+                          with_mask=True, workers=args.workers)
     logger.info(f"train iters/epoch: {len(train_feeder)}, "
                 f"valid iters/epoch: {len(valid_feeder)}")
 

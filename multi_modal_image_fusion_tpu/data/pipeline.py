@@ -46,7 +46,8 @@ class Feeder:
                  sharding=None,
                  seed=0,
                  prefetch=2,
-                 with_mask=False):
+                 with_mask=False,
+                 workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,6 +55,17 @@ class Feeder:
         self.sharding = sharding
         self.prefetch = prefetch
         self.with_mask = with_mask
+        # workers>0: item loads (imread + augment) within a batch fan out
+        # over a thread pool (cv2/numpy release the GIL), covering the
+        # reference's DataLoader num_workers=4*world_size (train.py:
+        # 207-222) for full-res batches where one producer thread would
+        # bottleneck a real TPU host
+        self.workers = workers
+        if workers:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+        else:
+            self._pool = None
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -85,7 +97,11 @@ class Feeder:
                 # cyclically, so it also covers pad > len(take)
                 pad = ndev - len(take) % ndev
                 take = np.resize(take, len(take) + pad)
-            items = [self.dataset[int(j)] for j in take]
+            if self._pool is not None:
+                items = list(self._pool.map(
+                    lambda j: self.dataset[int(j)], take))
+            else:
+                items = [self.dataset[int(j)] for j in take]
             batch = _to_batch(items)
             if self.with_mask:
                 mask = np.zeros((len(take),), np.float32)

@@ -118,3 +118,24 @@ def test_feeder_batches():
     b1, b2 = batches[0]
     assert b1.shape == (4, 8, 8, 1)
     np.testing.assert_allclose(np.asarray(b2) - np.asarray(b1), 100.0)
+
+
+def test_feeder_workers_ordering():
+    """workers>0 parallelizes item loading but must preserve batch
+    order/content for deterministic datasets."""
+    from multi_modal_image_fusion_tpu.data.pipeline import Feeder
+
+    class Toy:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return np.full((4, 4), float(i), np.float32)
+
+    ref = [np.asarray(b) for b in
+           Feeder(Toy(), batch_size=4, shuffle=True, seed=3)]
+    got = [np.asarray(b) for b in
+           Feeder(Toy(), batch_size=4, shuffle=True, seed=3, workers=4)]
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)

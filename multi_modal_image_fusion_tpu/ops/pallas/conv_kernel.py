@@ -256,11 +256,16 @@ CHAIN_GUARD = 8    # rows above/below the valid region (>= max k//2, 8-align)
 CHAIN_WG = 4       # lanes left of the valid region  (>= max k//2)
 
 
+CHAIN_MAX_ROWS = 64   # largest strip height any chain conv may use
+
+
 def chain_shape(h, w):
     """(HG, Wp) of the guard layout for a valid h x w image. The bottom
-    band is GUARD + 32 rows: strips round h up to a multiple of `rows`
-    (<= 32), and the last strip's DMA reads one extra 8-row block."""
-    hg = CHAIN_GUARD + (-(-h // 8) * 8) + CHAIN_GUARD + 32
+    band is GUARD + CHAIN_MAX_ROWS + 8 rows: strips round h up to a
+    multiple of `rows` (<= CHAIN_MAX_ROWS — 64 for the latency-bound thin
+    layers, 16 for the fat ones), and the last strip's DMA reads one
+    extra block."""
+    hg = CHAIN_GUARD + (-(-h // 8) * 8) + CHAIN_GUARD + CHAIN_MAX_ROWS + 8
     wp = -(-(CHAIN_WG + w + CHAIN_WG) // 128) * 128
     return hg, wp
 

@@ -700,6 +700,28 @@ class Res2Fusion(_FusionModel):
             feat = layer(feat, train)
         return feat
 
+    def __call__(self, img1, img2=None, train=False):
+        from ..ops.layers import chain_ready
+
+        # Hybrid fast path: Res2 encoder blocks (grouped dw convs) and the
+        # streamed non-local fusion stay NHWC; the 4-conv decoder runs
+        # NCHW-resident.
+        if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+
+            n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+            feat = self.encoder(jnp.concatenate([img1, img2], axis=0),
+                                False)
+            if self.fusion_method == "elem":
+                t = chain_enter(feat)
+                fused = element_fusion(t[:n], t[n:], "mean")
+            else:
+                fused = chain_enter(self.fusion(feat[:n], feat[n:]))
+            for layer in self.dec:
+                fused = layer(fused, train=False, chain_hw=(h, w))
+            return chain_exit(fused, h, w)
+        return super().__call__(img1, img2, train)
+
 
 class MAFusion(NestFuse):
     """NestFuse variant with wider channels and a U-Net3+ decoder."""

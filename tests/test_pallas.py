@@ -214,7 +214,8 @@ def test_chain_conv_parity():
                                   # multi-scale (round 3): guard-layout
                                   # scale transitions via chain_ops
                                   "nestfuse", "rfnnest", "mafusion",
-                                  "unfusion", "pmgi", "dbnet"])
+                                  "unfusion", "pmgi", "dbnet",
+                                  "res2fusion"])
 def test_model_chain_fast_path_parity(name, monkeypatch):
     """Full-model guard-layout fast path (MMIF_CHAIN_INTERPRET forces the
     chain kernels in interpret mode on CPU) vs the normal forward."""

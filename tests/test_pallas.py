@@ -281,3 +281,54 @@ def test_chain_pair_fused_conv_parity():
                                    act_b=None, rows=16, interpret=True)
         np.testing.assert_allclose(np.asarray(chain_exit(yt, h, w)),
                                    np.asarray(want), atol=5e-5)
+
+
+def test_chain_ops_scale_transitions():
+    """chain_max_pool / chain_upsample / chain_resize vs their NHWC
+    equivalents (max_pool, interpolate+pad_to) on odd sizes."""
+    import jax
+
+    from multi_modal_image_fusion_tpu.ops.blocks import pad_to
+    from multi_modal_image_fusion_tpu.ops.layers import (interpolate,
+                                                         max_pool)
+    from multi_modal_image_fusion_tpu.ops.pallas.chain_ops import (
+        chain_max_pool, chain_resize, chain_upsample, chain_valid)
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import \
+        chain_enter
+
+    r = np.random.RandomState(0)
+    h, w = 45, 61
+    x = jnp.asarray(r.rand(2, h, w, 6), jnp.float32)
+    t = chain_enter(x)
+
+    # maxpool 2 down (floor), no repair
+    got, (h2, w2) = chain_max_pool(t, h, w, 2)
+    want = max_pool(x, 2, 2)
+    assert (h2, w2) == (want.shape[1], want.shape[2])
+    np.testing.assert_allclose(
+        np.asarray(chain_valid(got, h2, w2)),
+        np.asarray(jnp.transpose(want, (0, 3, 1, 2))), atol=1e-6)
+
+    # maxpool 4 down with pad-to repair to an 'off' target
+    got4, hw4 = chain_max_pool(t, h, w, 4, to_hw=(12, 16))
+    want4 = pad_to(max_pool(x, 4, 4), (12, 16))
+    assert hw4 == (12, 16)
+    np.testing.assert_allclose(
+        np.asarray(chain_valid(got4, 12, 16)),
+        np.asarray(jnp.transpose(want4, (0, 3, 1, 2))), atol=1e-6)
+
+    # upsample x2 (nearest + bilinear) with repair to the original size
+    down, (hd, wd) = chain_max_pool(t, h, w, 2)
+    for mode in ("nearest", "bilinear"):
+        up, hwu = chain_upsample(down, hd, wd, (h, w), 2, mode)
+        want_up = pad_to(interpolate(max_pool(x, 2, 2), 2, mode), (h, w))
+        np.testing.assert_allclose(
+            np.asarray(chain_valid(up, h, w)),
+            np.asarray(jnp.transpose(want_up, (0, 3, 1, 2))), atol=1e-5)
+
+    # same-scale resize repair (crop + reflect)
+    rs, _ = chain_resize(t, h, w, (h - 3, w + 5))
+    want_rs = pad_to(x, (h - 3, w + 5))
+    np.testing.assert_allclose(
+        np.asarray(chain_valid(rs, h - 3, w + 5)),
+        np.asarray(jnp.transpose(want_rs, (0, 3, 1, 2))), atol=1e-6)

@@ -315,6 +315,26 @@ class ConvLayer(nn.Module):
                 return get_act(self.act)(y)
 
             fuse_ba = self.act is None or self.act in _FUSABLE_ACTS
+
+            # VMEM-aware strip height: rows=16 is the measured optimum for
+            # the fat full-res layers, but wide concat layers (NestFuse
+            # DB2_2 reaches c_in=384 at 640-lane scale-1 buffers) blow the
+            # scoped-vmem budget at rows=16 — estimate the kernel's scratch
+            # (t + a + acc + stage; Mosaic's accounting runs ~1.6x the
+            # nominal bytes) and drop to rows=8 when it would exceed limit.
+            wp_l = x.shape[3]
+            esz = 2  # bf16
+
+            def _scratch_est(rows):
+                tdma = -(-(8 + rows + self.ksize // 2) // 8) * 8
+                n_slots = 4 if chain_fuse_n else 2
+                t = n_slots * in_ch * tdma * wp_l * esz
+                a = self.ksize * in_ch * rows * wp_l * esz
+                acc = self.out_ch * rows * wp_l * 4
+                stage = 2 * self.out_ch * rows * wp_l * esz
+                return t + a + acc + stage
+
+            rows = 16 if _scratch_est(16) <= 55 * 1024 * 1024 else 8
             # halo=True mirrors the reflect halo in-kernel: the XLA
             # chain_refresh_halo costs ~15 ms/layer at full res
             # (docs/PERFORMANCE.md round-3 profile). chain_fuse_n folds a
@@ -324,7 +344,7 @@ class ConvLayer(nn.Module):
                                  h=h, w_valid=w,
                                  bias=eff_bias if fuse_ba else None,
                                  act=self.act if fuse_ba else None,
-                                 rows=16, halo=True,
+                                 rows=rows, halo=True,
                                  fuse_n=chain_fuse_n,
                                  interpret=bool(
                                      os.environ.get("MMIF_CHAIN_INTERPRET")))

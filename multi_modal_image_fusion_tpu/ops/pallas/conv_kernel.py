@@ -307,7 +307,7 @@ def chain_refresh_halo(xt, h, w, p):
 
 def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
                        out_dtype, kw_chunk, has_bias, act, p_half,
-                       halo_hw, bot_strips, fuse_n):
+                       halo_hw, bot_strips, fuse_n, epilogue):
     """conv_tlane_dma's strip loop on the guard layout: the input's
     reflect halo is already in the guard bands and the output lands at the
     same (GUARD, WG) offset, so there is no pad, no transpose, and no crop
@@ -330,8 +330,27 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
     fuse_n: when >0, the kernel also reads the strip at batch b + fuse_n
     and ADDS it during staging — elementwise-sum siamese fusion folded
     into the consumer conv's prologue (kills the separate XLA round trip).
+
+    epilogue: 'acc' keeps the f32 acc_ref scratch (init + k-1 in-place
+    RMW slice-adds, ~31 MB/strip of VPU traffic at k7/c32/rows16).
+    'ssa' instead sums the k lane-shifted partial-product slices as one
+    SSA expression (f32 lane rolls — Mosaic supports those, unlike bf16)
+    fused straight into the bias+act+cast staging write, with no
+    accumulator buffer at all. Roll wrap-around lanes land strictly in
+    the guard/never-read lane zones (|shift| <= p_half <= CHAIN_WG, and
+    the next layer's in-kernel halo mirrors overwrite the guard lanes
+    before any read), so the wrapped garbage never reaches valid output.
     """
-    if has_bias:
+    if epilogue == "ssa":
+        if has_bias:
+            (x_ref, w_ref, b_ref, out_ref, t_ref, a_ref, stage_ref,
+             in_sems, out_sems) = refs
+        else:
+            (x_ref, w_ref, out_ref, t_ref, a_ref, stage_ref,
+             in_sems, out_sems) = refs
+            b_ref = None
+        acc_ref = None
+    elif has_bias:
         (x_ref, w_ref, b_ref, out_ref, t_ref, a_ref, acc_ref, stage_ref,
          in_sems, out_sems) = refs
     else:
@@ -418,30 +437,43 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
             a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
                 t_ref[slot, :, pl.ds(8 - p_half + kh, rows), :]
         a = a_ref[:, :, :]
-        for i0 in range(0, k, kw_chunk):
-            kws = kw_order[i0:i0 + kw_chunk]
-            # w_ref columns are pre-permuted into kw_order, so each chunk's
-            # column block is contiguous
+        if epilogue == "ssa":
+            # one full dot, then an SSA roll-sum: out lane L needs P lane
+            # L + sh, i.e. roll(P, -sh) — no accumulator buffer RMW
             p = jax.lax.dot_general(
-                w_ref[:, i0 * c_out:(i0 + len(kws)) * c_out], a,
-                (((0,), (0,)), ((), ())),
+                w_ref[:, :], a, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            for jj, kw in enumerate(kws):
-                sh = kw - p_half            # P lane L+sh feeds out lane L
-                a0 = max(0, -sh)            # acc lane start
-                b0 = max(0, sh)             # P lane start
-                ln = wp - abs(sh)
-                term = p[jj * c_out:(jj + 1) * c_out, :, b0:b0 + ln]
-                if kw == p_half:            # sh == 0: full width, inits acc
-                    acc_ref[:, :, :] = term
-                else:
-                    acc_ref[:, :, a0:a0 + ln] += term
+            y = p[:c_out, :, :]             # kw_order[0] == p_half: sh == 0
+            for jj in range(1, k):
+                sh = kw_order[jj] - p_half
+                y = y + jnp.roll(p[jj * c_out:(jj + 1) * c_out, :, :],
+                                 -sh, axis=2)
+        else:
+            for i0 in range(0, k, kw_chunk):
+                kws = kw_order[i0:i0 + kw_chunk]
+                # w_ref columns are pre-permuted into kw_order, so each
+                # chunk's column block is contiguous
+                p = jax.lax.dot_general(
+                    w_ref[:, i0 * c_out:(i0 + len(kws)) * c_out], a,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for jj, kw in enumerate(kws):
+                    sh = kw - p_half        # P lane L+sh feeds out lane L
+                    a0 = max(0, -sh)        # acc lane start
+                    b0 = max(0, sh)         # P lane start
+                    ln = wp - abs(sh)
+                    term = p[jj * c_out:(jj + 1) * c_out, :, b0:b0 + ln]
+                    if kw == p_half:        # sh == 0: full width, inits acc
+                        acc_ref[:, :, :] = term
+                    else:
+                        acc_ref[:, :, a0:a0 + ln] += term
 
         @pl.when(j >= 2)
         def _():
             out_dma(slot, j - 2).wait()
 
-        y = acc_ref[:, :, :]
+        if epilogue != "ssa":
+            y = acc_ref[:, :, :]
         if has_bias:
             y = y + b_ref[:, :, :]
         stage_ref[slot] = _apply_act(y, act).astype(out_dtype)
@@ -457,10 +489,10 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
 @functools.partial(jax.jit,
                    static_argnames=("k", "h", "w_valid", "interpret",
                                     "hsub", "kw_chunk", "rows", "act",
-                                    "halo", "fuse_n"))
+                                    "halo", "fuse_n", "epilogue"))
 def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
                      hsub=None, kw_chunk=7, rows=16, halo=False, fuse_n=0,
-                     interpret=False):
+                     epilogue="acc", interpret=False):
     """Guard-layout conv: xt (B, C_in, HG, Wp) with valid region
     (h, w_valid) at (CHAIN_GUARD, CHAIN_WG) -> (B, C_out, HG, Wp), same
     geometry. w is HWIO (k, k, C_in, C_out); bias/act as in conv_tlane_dma.
@@ -516,27 +548,27 @@ def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
         c_in=c_in, c_out=c_out, out_dtype=xt.dtype, kw_chunk=kw_chunk,
         has_bias=bias is not None, act=act, p_half=p_half,
         halo_hw=(h, w_valid) if halo else None, bot_strips=bot_strips,
-        fuse_n=fuse_n)
+        fuse_n=fuse_n, epilogue=epilogue)
     operands = [xt, wm]
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
     if bias is not None:
         operands.append(jnp.asarray(bias, jnp.float32).reshape(c_out, 1, 1))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM((n_slots, c_in, tdma, wp), xt.dtype),
+               pltpu.VMEM((k * c_in, rows, wp), xt.dtype)]
+    if epilogue != "ssa":
+        scratch.append(pltpu.VMEM((c_out, rows, wp), jnp.float32))
+    scratch += [pltpu.VMEM((2, c_out, rows, wp), xt.dtype),
+                pltpu.SemaphoreType.DMA((n_slots,)),
+                pltpu.SemaphoreType.DMA((2,))]
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b_out, c_out, hg, wp), xt.dtype),
         grid=(b_out, grid_h),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((n_slots, c_in, tdma, wp), xt.dtype),
-            pltpu.VMEM((k * c_in, rows, wp), xt.dtype),
-            pltpu.VMEM((c_out, rows, wp), jnp.float32),
-            pltpu.VMEM((2, c_out, rows, wp), xt.dtype),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -208,6 +208,41 @@ def test_chain_conv_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_chain_conv_ssa_epilogue_parity():
+    """'ssa' kw epilogue (roll-sum fused into staging, no acc_ref): valid
+    region bit-matches the 'acc' epilogue, including chained layers with
+    in-kernel halos — the roll wrap-around lanes land only in guard/
+    never-read zones and are overwritten by the next layer's mirrors."""
+    import jax
+
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import (
+        chain_enter, chain_exit, conv_tlane_chain)
+
+    r = np.random.RandomState(3)
+    h, w = 45, 61
+    x1 = jnp.asarray(r.rand(2, h, w, 1) - 0.5, jnp.float32)
+    x2 = jnp.asarray(r.rand(2, h, w, 1) - 0.5, jnp.float32)
+    w1 = jnp.asarray(r.rand(5, 5, 1, 8) - 0.5, jnp.float32)
+    w2 = jnp.asarray(r.rand(7, 7, 8, 6) - 0.5, jnp.float32)
+    w3 = jnp.asarray(r.rand(3, 3, 6, 1) - 0.5, jnp.float32)
+    b2 = jnp.asarray(r.rand(6) - 0.5, jnp.float32)
+
+    def fwd(epi):
+        # siamese enc -> fused (fuse_n) dec -> tail: all three kernel modes
+        xt = jnp.concatenate([chain_enter(x1), chain_enter(x2)], axis=0)
+        t = conv_tlane_chain(xt, w1, 5, h=h, w_valid=w, act="relu",
+                             halo=True, epilogue=epi, interpret=True)
+        t = conv_tlane_chain(t, w2, 7, h=h, w_valid=w, bias=b2, act="lrelu",
+                             halo=True, fuse_n=2, epilogue=epi,
+                             interpret=True)
+        t = conv_tlane_chain(t, w3, 3, h=h, w_valid=w, act="tanh",
+                             halo=True, epilogue=epi, interpret=True)
+        return chain_exit(t, h, w)
+
+    np.testing.assert_allclose(np.asarray(fwd("ssa")),
+                               np.asarray(fwd("acc")), atol=1e-6)
+
+
 @pytest.mark.parametrize("name", ["deepfuse", "densefuse", "vifnet",
                                   "pfnetv1", "ifcnn", "difnet",
                                   "pfnetv2",

@@ -325,16 +325,45 @@ class ConvLayer(nn.Module):
             wp_l = x.shape[3]
             esz = 2  # bf16
 
-            def _scratch_est(rows):
+            def _scratch_est(rows, c=None):
+                c = in_ch if c is None else c
                 tdma = -(-(8 + rows + self.ksize // 2) // 8) * 8
                 n_slots = 4 if chain_fuse_n else 2
-                t = n_slots * in_ch * tdma * wp_l * esz
-                a = self.ksize * in_ch * rows * wp_l * esz
+                t = n_slots * c * tdma * wp_l * esz
+                a = self.ksize * c * rows * wp_l * esz
                 acc = self.out_ch * rows * wp_l * 4
                 stage = 2 * self.out_ch * rows * wp_l * esz
                 return t + a + acc + stage
 
-            rows = 16 if _scratch_est(16) <= 55 * 1024 * 1024 else 8
+            budget = int(os.environ.get("MMIF_CHAIN_VMEM_BUDGET",
+                                        55 * 1024 * 1024))
+            rows = 16 if _scratch_est(16) <= budget else 8
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+
+            if _scratch_est(rows) > budget:
+                # Wide-concat layer (nest decoders reach c_in=304+ at
+                # full-res lane width): even rows=8 blows the scoped-vmem
+                # budget, so split c_in into chunks, run a partial conv per
+                # chunk (no bias/act), and sum — bias + activation apply
+                # after the sum (the conv is linear in its input channels).
+                n = 2
+                # best effort: stop at csz==1 even if the (c-independent)
+                # acc+stage terms alone exceed the budget
+                while n < in_ch and _scratch_est(8, -(-in_ch // n)) > budget:
+                    n += 1
+                csz = -(-in_ch // n)
+                y = None
+                for i0 in range(0, in_ch, csz):
+                    yi = conv_tlane_chain(
+                        x[:, i0:i0 + csz],
+                        kernel[:, :, i0:i0 + csz].astype(x.dtype),
+                        self.ksize, h=h, w_valid=w, rows=8, halo=True,
+                        fuse_n=chain_fuse_n, interpret=interp)
+                    y = yi if y is None else y + yi
+                if eff_bias is not None:
+                    y = y + eff_bias[None, :, None, None].astype(y.dtype)
+                return get_act(self.act)(y)
+
             # halo=True mirrors the reflect halo in-kernel: the XLA
             # chain_refresh_halo costs ~15 ms/layer at full res
             # (docs/PERFORMANCE.md round-3 profile). chain_fuse_n folds a
@@ -346,8 +375,7 @@ class ConvLayer(nn.Module):
                                  act=self.act if fuse_ba else None,
                                  rows=rows, halo=True,
                                  fuse_n=chain_fuse_n,
-                                 interpret=bool(
-                                     os.environ.get("MMIF_CHAIN_INTERPRET")))
+                                 interpret=interp)
             if not fuse_ba:
                 if eff_bias is not None:
                     y = y + eff_bias[None, :, None, None].astype(y.dtype)

@@ -208,6 +208,29 @@ def test_chain_conv_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_chain_conv_channel_chunked_wide_layer(monkeypatch):
+    """Wide-concat chain convs (nest decoders reach c_in=304+ at full-res)
+    split c_in into partial convs summed before bias+act when the scoped-
+    vmem estimate exceeds budget. Forced here via a tiny budget override;
+    must bit-match the unchunked fast path."""
+    import jax
+
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops.layers import fast_inference
+
+    monkeypatch.setenv("MMIF_CHAIN_INTERPRET", "1")
+    r = np.random.RandomState(0)
+    model = create_model("densefuse")   # dense concat encoder: c_in 64
+    x1 = jnp.asarray(r.rand(1, 30, 44, 1), jnp.float32)
+    x2 = jnp.asarray(r.rand(1, 30, 44, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    want = model.apply(v, x1, x2, train=False)
+    monkeypatch.setenv("MMIF_CHAIN_VMEM_BUDGET", "800000")  # force chunking
+    with fast_inference():
+        got = model.apply(v, x1, x2, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_chain_conv_ssa_epilogue_parity():
     """'ssa' kw epilogue (roll-sum fused into staging, no acc_ref): valid
     region bit-matches the 'acc' epilogue, including chained layers with

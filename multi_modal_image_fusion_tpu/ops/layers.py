@@ -325,6 +325,14 @@ class ConvLayer(nn.Module):
             wp_l = x.shape[3]
             esz = 2  # bf16
 
+            # kw_chunk sizes the f32 partial-product temp (kw_chunk *
+            # c_out * rows * wp * 4 — 23.6M at UNFusion's c_out=640 k3
+            # scale-2 layer, the term the round-3 vmem OOMs traced to).
+            # Chunking kw shrinks the dot's M to kw_chunk*c_out, which only
+            # starves the MXU when c_out is small — big-c_out layers take
+            # kw_chunk=1.
+            kwc = 1 if self.out_ch >= 128 else self.ksize
+
             def _scratch_est(rows, c=None):
                 c = in_ch if c is None else c
                 tdma = -(-(8 + rows + self.ksize // 2) // 8) * 8
@@ -333,7 +341,8 @@ class ConvLayer(nn.Module):
                 a = self.ksize * c * rows * wp_l * esz
                 acc = self.out_ch * rows * wp_l * 4
                 stage = 2 * self.out_ch * rows * wp_l * esz
-                return t + a + acc + stage
+                p = min(kwc, self.ksize) * self.out_ch * rows * wp_l * 4
+                return t + a + acc + stage + p
 
             budget = int(os.environ.get("MMIF_CHAIN_VMEM_BUDGET",
                                         55 * 1024 * 1024))
@@ -358,7 +367,8 @@ class ConvLayer(nn.Module):
                         x[:, i0:i0 + csz],
                         kernel[:, :, i0:i0 + csz].astype(x.dtype),
                         self.ksize, h=h, w_valid=w, rows=8, halo=True,
-                        fuse_n=chain_fuse_n, interpret=interp)
+                        kw_chunk=kwc, fuse_n=chain_fuse_n,
+                        interpret=interp)
                     y = yi if y is None else y + yi
                 if eff_bias is not None:
                     y = y + eff_bias[None, :, None, None].astype(y.dtype)
@@ -373,7 +383,7 @@ class ConvLayer(nn.Module):
                                  h=h, w_valid=w,
                                  bias=eff_bias if fuse_ba else None,
                                  act=self.act if fuse_ba else None,
-                                 rows=rows, halo=True,
+                                 rows=rows, halo=True, kw_chunk=kwc,
                                  fuse_n=chain_fuse_n,
                                  interpret=interp)
             if not fuse_ba:

@@ -61,8 +61,11 @@ def main():
     r = np.random.RandomState(0)
     x1 = jnp.asarray(r.rand(batch, H, W, 1), jnp.float32)
     x2 = jnp.asarray(r.rand(batch, H, W, 1), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x1[:1], x2[:1],
-                           train=False)
+    # init at a small spatial size: param shapes are H/W-independent, and a
+    # full-res f32 init forward OOMs HBM for the heavy nest/FS decoders
+    # (MAFusion/Res2Fusion) before the bf16 bench even starts
+    variables = model.init(jax.random.PRNGKey(0), x1[:1, :256, :256],
+                           x2[:1, :256, :256], train=False)
     variables = jax.tree.map(lambda p: p.astype(dtype), variables)
     x2 = x2.astype(dtype)
 

@@ -330,8 +330,12 @@ class ConvLayer(nn.Module):
             # scale-2 layer, the term the round-3 vmem OOMs traced to).
             # Chunking kw shrinks the dot's M to kw_chunk*c_out, which only
             # starves the MXU when c_out is small — big-c_out layers take
-            # kw_chunk=1.
-            kwc = 1 if self.out_ch >= 128 else self.ksize
+            # kw_chunk=1 with the acc epilogue; everything else takes the
+            # 'ssa' roll-sum epilogue (measured +1..8% over acc, never
+            # worse — tools/probe_epilogue.py round 3).
+            big_out = self.out_ch >= 128
+            kwc = 1 if big_out else self.ksize
+            epi = "acc" if big_out else "ssa"
 
             def _scratch_est(rows, c=None):
                 c = in_ch if c is None else c
@@ -339,9 +343,14 @@ class ConvLayer(nn.Module):
                 n_slots = 4 if chain_fuse_n else 2
                 t = n_slots * c * tdma * wp_l * esz
                 a = self.ksize * c * rows * wp_l * esz
-                acc = self.out_ch * rows * wp_l * 4
                 stage = 2 * self.out_ch * rows * wp_l * esz
-                p = min(kwc, self.ksize) * self.out_ch * rows * wp_l * 4
+                if epi == "ssa":
+                    # full-k dot temp + ~2 roll temps; no acc buffer
+                    p = (self.ksize + 2) * self.out_ch * rows * wp_l * 4
+                    acc = 0
+                else:
+                    p = min(kwc, self.ksize) * self.out_ch * rows * wp_l * 4
+                    acc = self.out_ch * rows * wp_l * 4
                 return t + a + acc + stage + p
 
             budget = int(os.environ.get("MMIF_CHAIN_VMEM_BUDGET",
@@ -367,7 +376,7 @@ class ConvLayer(nn.Module):
                         x[:, i0:i0 + csz],
                         kernel[:, :, i0:i0 + csz].astype(x.dtype),
                         self.ksize, h=h, w_valid=w, rows=8, halo=True,
-                        kw_chunk=kwc, fuse_n=chain_fuse_n,
+                        kw_chunk=kwc, fuse_n=chain_fuse_n, epilogue=epi,
                         interpret=interp)
                     y = yi if y is None else y + yi
                 if eff_bias is not None:
@@ -384,7 +393,7 @@ class ConvLayer(nn.Module):
                                  bias=eff_bias if fuse_ba else None,
                                  act=self.act if fuse_ba else None,
                                  rows=rows, halo=True, kw_chunk=kwc,
-                                 fuse_n=chain_fuse_n,
+                                 fuse_n=chain_fuse_n, epilogue=epi,
                                  interpret=interp)
             if not fuse_ba:
                 if eff_bias is not None:

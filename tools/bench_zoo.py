@@ -20,20 +20,20 @@ MODELS = [
     # (name, batch ladder — first that succeeds wins)
     ("deepfuse", [16]),
     ("densefuse", [16]),
-    ("vifnet", [16]),
-    ("ifcnn", [16]),
-    ("difnet", [16]),
-    ("pfnetv1", [16]),
-    ("pfnetv2", [16]),
+    ("vifnet", [16, 8]),
+    ("ifcnn", [16, 8]),
+    ("difnet", [16, 8]),
+    ("pfnetv1", [16, 8]),
+    ("pfnetv2", [16, 8]),
     ("dbnet", [16, 8]),
     ("pmgi", [16, 8]),
     ("sedrfuse", [8, 4]),
-    ("nestfuse", [8, 4]),
-    ("rfnnest", [8, 4]),
-    ("unfusion", [8, 4, 2]),
-    ("res2fusion", [8, 4, 2]),
-    ("mafusion", [8, 4, 2]),
-    ("myfusion", [8, 4]),
+    ("nestfuse", [8, 4, 2]),
+    ("rfnnest", [4, 2, 1]),
+    ("unfusion", [4, 2, 1]),
+    ("res2fusion", [2, 1]),
+    ("mafusion", [8, 4, 2, 1]),
+    ("myfusion", [8, 4, 2]),
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -55,8 +55,9 @@ def run_one(name, batch):
                 ln.startswith("{") and "fusion_throughput" in ln:
             line = ln
     if proc.returncode != 0 or line is None:
-        tail = (proc.stderr or proc.stdout).strip().splitlines()[-15:]
-        return None, wall, "\n".join(tail)
+        err = (proc.stderr or proc.stdout).strip().splitlines()
+        keep = [ln for ln in err if not ln.startswith("\x1b[2m")][-40:]
+        return None, wall, "\n".join(keep)
     return json.loads(line), wall, None
 
 

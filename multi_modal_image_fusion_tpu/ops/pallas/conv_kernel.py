@@ -270,9 +270,163 @@ def chain_shape(h, w):
     return hg, wp
 
 
+def _enter_kernel(x_ref, out_ref, t_ref, s_ref, in_sems, out_sems, *,
+                  rchunk, nch, tail, w, hg, wp):
+    """Grayscale placer: (B, H, W) -> (B, 1, HG, Wp) valid region at
+    (GUARD, WG). DMA strips in, VPU-shift +WG lanes, DMA out. Guard
+    rows/lanes are left UNINITIALIZED — the chain invariant (every consumer
+    either mirrors halos in-kernel before reading or reads the valid region
+    only) makes zero-filling them a waste of 2x the bandwidth, which is
+    exactly why the XLA zeros+dynamic-update-slice version of this op
+    measured 3.4 ms at b32 full res (~50 GB/s effective)."""
+    b = pl.program_id(0)
+
+    def in_dma(slot, j, sz):
+        return pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(j * rchunk, sz), :],
+            t_ref.at[slot, pl.ds(0, sz)], in_sems.at[slot])
+
+    def out_dma(slot, j, sz):
+        return pltpu.make_async_copy(
+            s_ref.at[slot, pl.ds(0, sz)],
+            out_ref.at[b, 0, pl.ds(CHAIN_GUARD + j * rchunk, sz), :],
+            out_sems.at[slot])
+
+    def size_of(j):
+        return tail if j == nch - 1 else rchunk
+
+    in_dma(0, 0, size_of(0)).start()
+
+    for j in range(nch):           # static loop: sizes differ at the tail
+        slot = j % 2
+        if j + 1 < nch:
+            in_dma(1 - slot, j + 1, size_of(j + 1)).start()
+        in_dma(slot, j, size_of(j)).wait()
+        if j >= 2:
+            out_dma(slot, j - 2, size_of(j - 2)).wait()
+        s_ref[slot, :, CHAIN_WG:CHAIN_WG + w] = t_ref[slot, :, :]
+        out_dma(slot, j, size_of(j)).start()
+    for t in (nch - 2, nch - 1):
+        if t >= 0:
+            out_dma(t % 2, t, size_of(t)).wait()
+
+
+def _exit_kernel(x_ref, out_ref, t_ref, s_ref, in_sems, out_sems, *,
+                 rchunk, nch, tail, w, wp):
+    """Reverse of _enter_kernel: (B, 1, HG, Wp) valid region -> (B, H, W)."""
+    b = pl.program_id(0)
+
+    def in_dma(slot, j, sz):
+        return pltpu.make_async_copy(
+            x_ref.at[b, 0, pl.ds(CHAIN_GUARD + j * rchunk, sz), :],
+            t_ref.at[slot, pl.ds(0, sz)], in_sems.at[slot])
+
+    def out_dma(slot, j, sz):
+        return pltpu.make_async_copy(
+            s_ref.at[slot, pl.ds(0, sz)],
+            out_ref.at[b, pl.ds(j * rchunk, sz), :], out_sems.at[slot])
+
+    def size_of(j):
+        return tail if j == nch - 1 else rchunk
+
+    in_dma(0, 0, size_of(0)).start()
+    for j in range(nch):
+        slot = j % 2
+        if j + 1 < nch:
+            in_dma(1 - slot, j + 1, size_of(j + 1)).start()
+        in_dma(slot, j, size_of(j)).wait()
+        if j >= 2:
+            out_dma(slot, j - 2, size_of(j - 2)).wait()
+        s_ref[slot, :, :] = t_ref[slot, :, CHAIN_WG:CHAIN_WG + w]
+        out_dma(slot, j, size_of(j)).start()
+    for t in (nch - 2, nch - 1):
+        if t >= 0:
+            out_dma(t % 2, t, size_of(t)).wait()
+
+
+_ENTER_RCHUNK = 128
+
+
+def _grayscale_fast_ok(h, w):
+    """DMA fast-path eligibility: 8-aligned rows (HBM sublane slices) and
+    128-multiple W (whole-minor-dim lane blocks)."""
+    return h % 8 == 0 and w % 128 == 0 and h >= 16
+
+
+@functools.partial(jax.jit, static_argnames="interpret")
+def _chain_enter_gray(x, interpret=False):
+    b, h, w, _ = x.shape
+    hg, wp = chain_shape(h, w)
+    nch = -(-h // _ENTER_RCHUNK)
+    tail = h - (nch - 1) * _ENTER_RCHUNK
+    kern = functools.partial(_enter_kernel, rchunk=_ENTER_RCHUNK, nch=nch,
+                             tail=tail, w=w, hg=hg, wp=wp)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, 1, hg, wp), x.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _ENTER_RCHUNK, w), x.dtype),
+            pltpu.VMEM((2, _ENTER_RCHUNK, wp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.reshape(b, h, w))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _chain_exit_gray(xt, h, w, interpret=False):
+    b = xt.shape[0]
+    nch = -(-h // _ENTER_RCHUNK)
+    tail = h - (nch - 1) * _ENTER_RCHUNK
+    kern = functools.partial(_exit_kernel, rchunk=_ENTER_RCHUNK, nch=nch,
+                             tail=tail, w=w, wp=xt.shape[3])
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), xt.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _ENTER_RCHUNK, xt.shape[3]), xt.dtype),
+            pltpu.VMEM((2, _ENTER_RCHUNK, w), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt)
+    return out[..., None]
+
+
+def _chain_dma_ok():
+    import os
+    if os.environ.get("MMIF_CHAIN_INTERPRET"):
+        return True
+    return (not os.environ.get("MMIF_NO_PALLAS")
+            and jax.default_backend() == "tpu")
+
+
 def chain_enter(x):
-    """NHWC (B, H, W, C) -> guard layout (B, C, HG, Wp), zero guards."""
+    """NHWC (B, H, W, C) -> guard layout (B, C, HG, Wp).
+
+    Grayscale inputs at DMA-aligned sizes take a Pallas strip-copy kernel
+    (the XLA zeros + transpose + dynamic-update-slice lowering runs at
+    ~50 GB/s — docs/PERFORMANCE.md); other shapes keep the XLA path, which
+    also zero-fills the guards. The kernel leaves guards uninitialized —
+    valid under the chain invariant (consumers mirror halos in-kernel
+    before reading guard rows/lanes, or read the valid region only)."""
     b, h, w, c = x.shape
+    if c == 1 and _grayscale_fast_ok(h, w) and _chain_dma_ok():
+        import os
+        return _chain_enter_gray(
+            x, interpret=bool(os.environ.get("MMIF_CHAIN_INTERPRET")))
     hg, wp = chain_shape(h, w)
     xt = jnp.transpose(x, (0, 3, 1, 2))
     out = jnp.zeros((b, c, hg, wp), x.dtype)
@@ -282,6 +436,10 @@ def chain_enter(x):
 
 def chain_exit(xt, h, w):
     """Guard layout -> NHWC (B, H, W, C)."""
+    if xt.shape[1] == 1 and _grayscale_fast_ok(h, w) and _chain_dma_ok():
+        import os
+        return _chain_exit_gray(
+            xt, h, w, interpret=bool(os.environ.get("MMIF_CHAIN_INTERPRET")))
     sl = xt[:, :, CHAIN_GUARD:CHAIN_GUARD + h, CHAIN_WG:CHAIN_WG + w]
     return jnp.transpose(sl, (0, 2, 3, 1))
 

@@ -208,6 +208,28 @@ def test_chain_conv_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_chain_enter_exit_gray_kernels():
+    """Pallas grayscale enter/exit strip-copy kernels vs the XLA
+    place/crop path: valid region identical (guards are deliberately
+    uninitialized in the kernel — compare the valid window only), and
+    exit(enter(x)) is the identity."""
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import (
+        CHAIN_GUARD, CHAIN_WG, _chain_enter_gray, _chain_exit_gray,
+        chain_shape)
+
+    r = np.random.RandomState(7)
+    h, w = 136, 128          # aligned (h % 8 == 0, w % 128 == 0), tail chunk
+    x = jnp.asarray(r.rand(3, h, w, 1) - 0.5, jnp.float32)
+    got = _chain_enter_gray(x, interpret=True)
+    hg, wp = chain_shape(h, w)
+    assert got.shape == (3, 1, hg, wp)
+    valid = got[:, :, CHAIN_GUARD:CHAIN_GUARD + h, CHAIN_WG:CHAIN_WG + w]
+    np.testing.assert_array_equal(
+        np.asarray(valid[:, 0, :, :, None]), np.asarray(x))
+    back = _chain_exit_gray(got, h, w, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
 def test_chain_conv_channel_chunked_wide_layer(monkeypatch):
     """Wide-concat chain convs (nest decoders reach c_in=304+ at full-res)
     split c_in into partial convs summed before bias+act when the scoped-

@@ -108,7 +108,7 @@ def main():
                 stage_ref[slot] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
                 if do_dma:
                     out_dma(slot, j).start()
-                return carry + stage_ref[slot][0, 0, 0].astype(jnp.float32)
+                return carry + p[0, 0, 0]
 
             s = jax.lax.fori_loop(0, hsub, strip, jnp.float32(0.0))
             if do_dma:

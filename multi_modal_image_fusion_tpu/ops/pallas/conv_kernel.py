@@ -499,7 +499,7 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
     the next layer's in-kernel halo mirrors overwrite the guard lanes
     before any read), so the wrapped garbage never reaches valid output.
     """
-    if epilogue == "ssa":
+    if epilogue in ("ssa", "ssai"):
         if has_bias:
             (x_ref, w_ref, b_ref, out_ref, t_ref, a_ref, stage_ref,
              in_sems, out_sems) = refs
@@ -595,7 +595,28 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
             a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
                 t_ref[slot, :, pl.ds(8 - p_half + kh, rows), :]
         a = a_ref[:, :, :]
-        if epilogue == "ssa":
+        if epilogue == "ssai":
+            # interior-slice SSA sum: every partial-product slice is read
+            # at the SAME width wp-2p with a per-kw lane offset (out lane
+            # L needs P lane L+sh, so slice start = p_half-sh in [0, 2p]),
+            # summed without rolls or an accumulator, and only the
+            # interior lanes [p, wp-p) are staged. The skipped edge lanes
+            # are strictly guard zone: valid output lanes live in
+            # [WG, WG+w) with p <= WG, and the mirror-destination lanes
+            # the next layer refreshes are inside [WG-p, WG+w+p). Chain
+            # layout only — conv_tlane_dma's crop treats lane 0 as a real
+            # output column.
+            wi = wp - 2 * p_half
+            p = jax.lax.dot_general(
+                w_ref[:, :], a, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = None
+            for jj, kw in enumerate(kw_order):
+                # out lane L = p_half + i needs P lane L + (kw - p_half),
+                # so the uniform-width slice starts at lane kw
+                term = p[jj * c_out:(jj + 1) * c_out, :, kw:kw + wi]
+                y = term if y is None else y + term
+        elif epilogue == "ssa":
             # one full dot, then an SSA roll-sum: out lane L needs P lane
             # L + sh, i.e. roll(P, -sh) — no accumulator buffer RMW
             p = jax.lax.dot_general(
@@ -630,11 +651,15 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
         def _():
             out_dma(slot, j - 2).wait()
 
-        if epilogue != "ssa":
+        if epilogue not in ("ssa", "ssai"):
             y = acc_ref[:, :, :]
         if has_bias:
             y = y + b_ref[:, :, :]
-        stage_ref[slot] = _apply_act(y, act).astype(out_dtype)
+        if epilogue == "ssai":
+            stage_ref[slot, :, :, p_half:wp - p_half] = \
+                _apply_act(y, act).astype(out_dtype)
+        else:
+            stage_ref[slot] = _apply_act(y, act).astype(out_dtype)
         out_dma(slot, j).start()
         return carry
 
@@ -715,7 +740,7 @@ def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch = [pltpu.VMEM((n_slots, c_in, tdma, wp), xt.dtype),
                pltpu.VMEM((k * c_in, rows, wp), xt.dtype)]
-    if epilogue != "ssa":
+    if epilogue not in ("ssa", "ssai"):
         scratch.append(pltpu.VMEM((c_out, rows, wp), jnp.float32))
     scratch += [pltpu.VMEM((2, c_out, rows, wp), xt.dtype),
                 pltpu.SemaphoreType.DMA((n_slots,)),

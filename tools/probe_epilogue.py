@@ -41,7 +41,7 @@ def main():
         x = jnp.asarray(r.rand(b, cin, hg, wp) - 0.5, jnp.bfloat16)
         w = jnp.asarray(r.rand(k, k, cin, cout) - 0.5, jnp.bfloat16)
         ref = None
-        for epi in ("acc", "ssa"):
+        for epi in ("acc", "ssa", "ssai"):
             for rows in (rows_list if epi == "ssa" else rows_list[:1]):
                 fn = functools.partial(conv_tlane_chain, k=k, h=H,
                                        w_valid=W, act="relu", rows=rows,

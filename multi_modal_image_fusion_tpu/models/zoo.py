@@ -216,17 +216,37 @@ class DeepFuse(_FusionModel):
         # work directly on chain tensors.
         if (img2 is not None and not train and chain_ready()
                 and self.fusion_mode in ("sum", "mean", "max")):
-            from ..ops.pallas.conv_kernel import chain_enter, chain_exit
+            import os
+
+            from ..ops.pallas.conv_kernel import (chain_enter, chain_exit,
+                                                  conv_tlane_chain_pair)
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
             t = chain_enter(jnp.concatenate([img1, img2], axis=0))
-            for layer in self.enc:
-                t = layer(t, train=False, chain_hw=(h, w))
-            # NOTE: running dec1+dec2 through conv_tlane_chain_pair (the
-            # fused two-layer strip kernel) measured SLOWER end-to-end
-            # (78.3 vs 80.5 pairs/s): the 2*pb-row overlap recompute plus
-            # the mid-halo mirror passes cost more than dec2's saved
-            # launch — kept unfused (docs/PERFORMANCE.md round 2).
+            # Fused two-conv strip kernels (round-3 rewrite: in-kernel
+            # halos + ssai epilogues): enc0+enc1 share strips with the
+            # 16-ch intermediate VMEM-resident, and dec1+dec2 eliminate
+            # the c_out=1 tail conv's input re-read (~15 ms of pure DMA
+            # overhead at b16 full res, tools/probe_breakdown.py).
+            # MMIF_NO_CHAIN_PAIR=1 falls back to single-layer chain convs.
+            use_pair = not os.environ.get("MMIF_NO_CHAIN_PAIR")
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+
+            def pair(t, la, in_a, lb, in_b):
+                wa, ba, ka, aa = la(None, chain_hw=(h, w),
+                                    chain_defer_in_ch=in_a)
+                wb, bb, kb, ab = lb(None, chain_hw=(h, w),
+                                    chain_defer_in_ch=in_b)
+                return conv_tlane_chain_pair(
+                    t, wa.astype(t.dtype), wb.astype(t.dtype), ka, kb,
+                    h=h, w_valid=w, bias_a=ba, act_a=aa, bias_b=bb,
+                    act_b=ab, interpret=interp)
+
+            if use_pair:
+                t = pair(t, self.enc[0], 1, self.enc[1], 16)
+            else:
+                for layer in self.enc:
+                    t = layer(t, train=False, chain_hw=(h, w))
             if self.fusion_mode == "sum":
                 # elementwise-sum fusion folds into dec0's input DMA
                 # (kills the 11.5 ms XLA slice+add round trip,
@@ -236,8 +256,11 @@ class DeepFuse(_FusionModel):
             else:
                 t = element_fusion(t[:n], t[n:], self.fusion_mode)
                 t = self.dec[0](t, train=False, chain_hw=(h, w))
-            for layer in self.dec[1:]:
-                t = layer(t, train=False, chain_hw=(h, w))
+            if use_pair:
+                t = pair(t, self.dec[1], 32, self.dec[2], 16)
+            else:
+                for layer in self.dec[1:]:
+                    t = layer(t, train=False, chain_hw=(h, w))
             return chain_exit(t, h, w)
         return super().__call__(img1, img2, train)
 

@@ -269,7 +269,8 @@ class ConvLayer(nn.Module):
     pad_mode: str = "reflect"
 
     @nn.compact
-    def __call__(self, x, train=False, chain_hw=None, chain_fuse_n=0):
+    def __call__(self, x, train=False, chain_hw=None, chain_fuse_n=0,
+                 chain_defer_in_ch=None):
         pad = self.ksize // 2 if self.padding is None else self.padding
         bias = self.use_bias
         if bias is None:
@@ -290,7 +291,8 @@ class ConvLayer(nn.Module):
                     and (self.ksize == 1 or self.pad_mode == "reflect"))
             from .pallas.conv_kernel import conv_tlane_chain
 
-            in_ch = x.shape[1]
+            in_ch = (x.shape[1] if chain_defer_in_ch is None
+                     else chain_defer_in_ch)
             kernel = self.param(
                 "kernel", kernel_init_for(self.act),
                 (self.ksize, self.ksize, in_ch, self.out_ch))
@@ -304,6 +306,12 @@ class ConvLayer(nn.Module):
             else:
                 eff_bias = b
             h, w = chain_hw
+
+            if chain_defer_in_ch is not None:
+                # fused-pair mode (conv_tlane_chain_pair): hand the folded
+                # kernel/bias back to the model, which feeds two adjacent
+                # layers through one strip kernel
+                return kernel, eff_bias, self.ksize, self.act
 
             if self.ksize == 1:
                 if chain_fuse_n:

@@ -761,16 +761,31 @@ def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
 
 def _conv_kernel_chain_pair(*refs, ka, kb, rows, hsub, wp, wv, hv, tdma,
                             c_in, c_mid, c_out, out_dtype, has_bias_a,
-                            act_a, has_bias_b, act_b, pa, pb):
-    """Two fused reflect-SAME convs per strip (the chain-tail fusion):
-    conv_a (ka, c_in->c_mid) then conv_b (kb, c_mid->c_out) with the
-    intermediate held in VMEM — conv_a's output never touches HBM, and
-    conv_b's separate strip-loop launch+DMA latency disappears.
+                            act_a, has_bias_b, act_b, pa, pb, bot_in,
+                            bot_mid):
+    """Fused two-conv strip pipeline on the guard layout (round-3 rewrite):
+    conv_a (ka, c_in->c_mid) then conv_b (kb, c_mid->c_out) per strip with
+    the intermediate VMEM-resident — conv_a's output never touches HBM and
+    conv_b pays no input re-read (the round-3 breakdown probe measured the
+    c_out=1 tail conv as ~15 ms of pure input-DMA overhead at b16 full
+    res).
 
-    Per output strip of `rows` rows, conv_a computes rows+2*pb mid rows
-    (the overlap recompute is 2*pb/rows); the mid tile's reflect halo is
-    patched in-kernel: lane mirrors every strip, row mirrors only on the
-    first/last strips (pl.when).
+    vs the round-2 version (measured slower than two singles):
+    - BOTH halos in-kernel: the input's pa-row/lane reflect mirror (same
+      static pl.when patches as the single kernel) and the mid tile's
+      pb mirror — no chain_refresh_halo prepass, and the old full-tile
+      where-shift bottom mirror (two extra mid-tile copies per strip) is
+      now a static row copy on the listed boundary strips only;
+    - ssai interior-slice epilogues for both convs: uniform-width
+      partial-product slices summed as SSA, no f32 accumulator RMW.
+
+    Top-boundary garbage analysis: the input mirror covers t rows
+    [8-pa, 8); conv_a reads down to t row 8-pa-pb, so mid rows m < pb are
+    garbage-fed — exactly the rows the mid top mirror overwrites before
+    conv_b reads them. Bottom symmetric: mid out-rows in [hv, hv+pb) are
+    patched from valid mid rows; rows beyond feed only cropped outputs.
+    bot_in:  static [(strip, t-row of valid row hv)] for the input mirror.
+    bot_mid: static [(strip, (mid rows to fix...))] for the mid mirror.
     """
     i = 0
     x_ref = refs[i]; i += 1
@@ -783,19 +798,17 @@ def _conv_kernel_chain_pair(*refs, ka, kb, rows, hsub, wp, wv, hv, tdma,
     if has_bias_b:
         bb_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
-    t_ref, a_ref, mid_ref, amid_ref, acc_ref, stage_ref, in_sems, \
-        out_sems = refs[i:i + 8]
+    t_ref, a_ref, mid_ref, amid_ref, stage_ref, in_sems, out_sems = \
+        refs[i:i + 7]
 
     b = pl.program_id(0)
     g = pl.program_id(1)
     h0 = g * rows * hsub
-    n_strips = pl.num_programs(1) * hsub   # strips spanning padded H
-    mrows = rows + 2 * pb                  # mid rows computed per strip
+    mrows = rows + 2 * pb
+    kw_a = [pa] + [kw for kw in range(ka) if kw != pa]
+    kw_b = [pb] + [kw for kw in range(kb) if kw != pb]
 
     def in_dma(slot, j):
-        # conv_a needs input rows [out0 - pb - pa, out0 + rows + pb + pa)
-        # where out0 = GUARD + h0 + j*rows; lead-8 block keeps starts
-        # 8-aligned (pa + pb <= 8 enforced by the wrapper)
         start = CHAIN_GUARD - 8 + h0 + j * rows
         return pltpu.make_async_copy(
             x_ref.at[b, :, pl.ds(start, tdma), :],
@@ -809,104 +822,88 @@ def _conv_kernel_chain_pair(*refs, ka, kb, rows, hsub, wp, wv, hv, tdma,
 
     in_dma(0, 0).start()
 
-    kw_order_a = [pa] + [kw for kw in range(ka) if kw != pa]
-    kw_order_b = [pb] + [kw for kw in range(kb) if kw != pb]
-
     def strip(j, carry):
         slot = jax.lax.rem(j, 2)
+        sgj = g * hsub + j
 
         @pl.when(j + 1 < hsub)
         def _():
             in_dma(1 - slot, j + 1).start()
-
         in_dma(slot, j).wait()
 
-        # ---- conv_a over mrows: mid row m (0..mrows) is output row
-        # h0 + j*rows - pb + m, needing input rows (... - pa + kh); in
-        # t-slot coords: m + 8 - pb - pa + kh
+        # ---- input reflect halo (pa): rows at the H boundaries, lanes
+        # every strip — identical mirror geometry to the single kernel
+        @pl.when(sgj == 0)
+        def _():
+            for ii in range(pa):
+                t_ref[slot, :, 7 - ii:8 - ii, :] = \
+                    t_ref[slot, :, 9 + ii:10 + ii, :]
+        for s, th in bot_in:
+            @pl.when(sgj == s)
+            def _(th=th):
+                for ii in range(pa):
+                    t_ref[slot, :, th + ii:th + ii + 1, :] = \
+                        t_ref[slot, :, th - 2 - ii:th - 1 - ii, :]
+        for jj in range(pa):
+            t_ref[slot, :, :, CHAIN_WG - 1 - jj:CHAIN_WG - jj] = \
+                t_ref[slot, :, :, CHAIN_WG + 1 + jj:CHAIN_WG + 2 + jj]
+            t_ref[slot, :, :, CHAIN_WG + wv + jj:CHAIN_WG + wv + jj + 1] = \
+                t_ref[slot, :, :, CHAIN_WG + wv - 2 - jj:CHAIN_WG + wv - 1 - jj]
+
+        # ---- conv_a over mrows mid rows, ssai epilogue into mid interior
         for kh in range(ka):
             a_ref[kh * c_in:(kh + 1) * c_in, :, :] = \
                 t_ref[slot, :, pl.ds(8 - pb - pa + kh, mrows), :]
-        a = a_ref[:, :, :]
-        for i0 in range(0, ka):
-            kw = kw_order_a[i0]
-            p = jax.lax.dot_general(
-                wa_ref[:, i0 * c_mid:(i0 + 1) * c_mid], a,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            sh = kw - pa
-            a0, b0, ln = max(0, -sh), max(0, sh), wp - abs(sh)
-            term = p[:, :, b0:b0 + ln]
-            if kw == pa:
-                acc_ref[:c_mid, :mrows, :] = term
-            else:
-                acc_ref[:c_mid, :mrows, a0:a0 + ln] += term
-        ymid = acc_ref[:c_mid, :mrows, :]
+        p = jax.lax.dot_general(
+            wa_ref[:, :], a_ref[:, :, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        wia = wp - 2 * pa
+        y = None
+        for jj, kw in enumerate(kw_a):
+            term = p[jj * c_mid:(jj + 1) * c_mid, :, kw:kw + wia]
+            y = term if y is None else y + term
         if has_bias_a:
-            ymid = ymid + ba_ref[:, :, :]
-        mid_ref[:, :, :] = _apply_act(ymid, act_a).astype(x_ref.dtype)
+            y = y + ba_ref[:, :, :]
+        mid_ref[:, :, pa:wp - pa] = _apply_act(y, act_a).astype(x_ref.dtype)
 
-        # ---- mid reflect halos: lanes every strip; rows at H boundaries.
-        # mid row index pb + r == output row h0 + j*rows + r.
+        # ---- mid reflect halo (pb): rows at boundaries, lanes every strip
+        @pl.when(sgj == 0)
+        def _():
+            for ii in range(pb):
+                mid_ref[:, pb - 1 - ii:pb - ii, :] = \
+                    mid_ref[:, pb + 1 + ii:pb + 2 + ii, :]
+        for s, rws in bot_mid:
+            @pl.when(sgj == s)
+            def _(rws=rws):
+                for i2, mr in enumerate(rws):
+                    src = mr - 2 * (i2 + 1)
+                    mid_ref[:, mr:mr + 1, :] = mid_ref[:, src:src + 1, :]
         for jj in range(pb):
-            # left lane guard: lane (WG-1-jj) mirrors lane (WG+1+jj);
-            # right: lane (WG+wv+jj) mirrors lane (WG+wv-2-jj)
             mid_ref[:, :, CHAIN_WG - 1 - jj:CHAIN_WG - jj] = \
                 mid_ref[:, :, CHAIN_WG + 1 + jj:CHAIN_WG + 2 + jj]
             mid_ref[:, :, CHAIN_WG + wv + jj:CHAIN_WG + wv + jj + 1] = \
                 mid_ref[:, :, CHAIN_WG + wv - 2 - jj:CHAIN_WG + wv - 1 - jj]
 
-        @pl.when(g * hsub + j == 0)
-        def _():
-            for ii in range(pb):
-                # top strip: mid row (pb-1-ii) = mirror of row (pb+1+ii)
-                mid_ref[:, pb - 1 - ii:pb - ii, :] = \
-                    mid_ref[:, pb + 1 + ii:pb + 2 + ii, :]
-
-        # bottom boundary: real mid row (hv + ii) mirrors (hv - 2 - ii).
-        # Dynamic sublane indices are illegal (Mosaic requires provable
-        # 8-alignment), so express each mirror as a STATIC row shift by
-        # 2*(ii+1) selected with a traced row mask — the shift's filler
-        # rows are never selected (hv >> rows keeps the target deep in
-        # the tile).
-        out0 = h0 + j * rows
-        row_real = (jax.lax.broadcasted_iota(jnp.int32, (1, mrows, 1), 1)
-                    + (out0 - pb))
-        cur = mid_ref[:, :, :]
-        for ii in range(pb):
-            sft = 2 * (ii + 1)
-            shifted = jnp.concatenate([cur[:, :sft, :], cur[:, :-sft, :]],
-                                      axis=1)
-            cur = jnp.where(row_real == hv + ii, shifted, cur)
-        mid_ref[:, :, :] = cur
-
-        # ---- conv_b on the mid tile
+        # ---- conv_b on the mid tile, ssai epilogue into the stage
         for kh in range(kb):
             amid_ref[kh * c_mid:(kh + 1) * c_mid, :, :] = \
                 mid_ref[:, pl.ds(kh, rows), :]
-        am = amid_ref[:, :, :]
-        for i0 in range(0, kb):
-            kw = kw_order_b[i0]
-            p = jax.lax.dot_general(
-                wb_ref[:, i0 * c_out:(i0 + 1) * c_out], am,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            sh = kw - pb
-            a0, b0, ln = max(0, -sh), max(0, sh), wp - abs(sh)
-            term = p[:, :, b0:b0 + ln]
-            if kw == pb:
-                acc_ref[:c_out, :rows, :] = term
-            else:
-                acc_ref[:c_out, :rows, a0:a0 + ln] += term
+        p2 = jax.lax.dot_general(
+            wb_ref[:, :], amid_ref[:, :, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        wib = wp - 2 * pb
+        y2 = None
+        for jj, kw in enumerate(kw_b):
+            term = p2[jj * c_out:(jj + 1) * c_out, :, kw:kw + wib]
+            y2 = term if y2 is None else y2 + term
+        if has_bias_b:
+            y2 = y2 + bb_ref[:, :, :]
 
         @pl.when(j >= 2)
         def _():
             out_dma(slot, j - 2).wait()
-
-        y = acc_ref[:c_out, :rows, :]
-        if has_bias_b:
-            y = y + bb_ref[:, :, :]
-        stage_ref[slot] = _apply_act(y, act_b).astype(out_dtype)
+        stage_ref[slot, :, :, pb:wp - pb] = \
+            _apply_act(y2, act_b).astype(out_dtype)
         out_dma(slot, j).start()
         return carry
 
@@ -924,15 +921,13 @@ def conv_tlane_chain_pair(xt, wa, wb, ka, kb, h, w_valid, bias_a=None,
                           hsub=None, interpret=False):
     """Fused two-conv guard-layout pipeline: conv_a (ka, C_in->C_mid,
     bias_a/act_a) then conv_b (kb, C_mid->C_out, bias_b/act_b), both
-    reflect-SAME, with the intermediate VMEM-resident. xt must have its
-    OWN halo refreshed for conv_a (chain_refresh_halo with pa+pb rows —
-    the overlap region's conv_a inputs extend pb rows beyond the usual
-    halo); the mid halo is patched in-kernel."""
+    reflect-SAME, intermediate VMEM-resident. ALL halos are mirrored
+    in-kernel (round-3 contract — no chain_refresh_halo prepass)."""
     b, c_in, hg, wp = xt.shape
     c_mid = wa.shape[-1]
     c_out = wb.shape[-1]
     pa, pb = ka // 2, kb // 2
-    assert pa + pb <= 8 and pb <= CHAIN_WG
+    assert pa + pb <= 8 and pb <= CHAIN_WG and pa <= CHAIN_WG
     assert rows % 8 == 0
     h8 = -(-h // 8) * 8
     if hsub is None:
@@ -941,6 +936,22 @@ def conv_tlane_chain_pair(xt, wa, wb, ka, kb, h, w_valid, bias_a=None,
     grid_h = -(-h8 // strip)
     tdma = -(-(8 + rows + pa + pb) // 8) * 8
     assert CHAIN_GUARD + grid_h * strip + (tdma - rows - 8) <= hg
+
+    n_strips = grid_h * hsub
+    # input bottom mirror: strips whose read window reaches valid row h
+    bot_in = tuple(
+        (s, h - s * rows + 8)
+        for s in range(n_strips)
+        if s * rows < h and s * rows - 8 + tdma > h)
+    # mid bottom mirror: strips whose mid rows reach valid out-row h;
+    # mid row index of out-row (h + i) in strip s is h + i - s*rows + pb
+    bot_mid = []
+    for s in range(n_strips):
+        rws = tuple(h + i - s * rows + pb for i in range(pb)
+                    if 0 <= h + i - s * rows + pb < rows + 2 * pb)
+        if rws and s * rows < h:
+            bot_mid.append((s, rws))
+    bot_mid = tuple(bot_mid)
 
     def wmat(w, k, c_i, c_o):
         p = k // 2
@@ -954,7 +965,7 @@ def conv_tlane_chain_pair(xt, wa, wb, ka, kb, h, w_valid, bias_a=None,
         wp=wp, wv=w_valid, hv=h, tdma=tdma, c_in=c_in, c_mid=c_mid,
         c_out=c_out, out_dtype=xt.dtype, has_bias_a=bias_a is not None,
         act_a=act_a, has_bias_b=bias_b is not None, act_b=act_b, pa=pa,
-        pb=pb)
+        pb=pb, bot_in=bot_in, bot_mid=bot_mid)
 
     operands = [xt, wmat(wa, ka, c_in, c_mid)]
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
@@ -971,7 +982,6 @@ def conv_tlane_chain_pair(xt, wa, wb, ka, kb, h, w_valid, bias_a=None,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     mrows = rows + 2 * pb
-    cacc = max(c_mid, c_out)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, c_out, hg, wp), xt.dtype),
@@ -983,7 +993,6 @@ def conv_tlane_chain_pair(xt, wa, wb, ka, kb, h, w_valid, bias_a=None,
             pltpu.VMEM((ka * c_in, mrows, wp), xt.dtype),
             pltpu.VMEM((c_mid, mrows, wp), xt.dtype),
             pltpu.VMEM((kb * c_mid, rows, wp), xt.dtype),
-            pltpu.VMEM((cacc, mrows, wp), jnp.float32),
             pltpu.VMEM((2, c_out, rows, wp), xt.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -325,16 +325,15 @@ def test_model_chain_fast_path_parity(name, monkeypatch):
 
 
 def test_chain_pair_fused_conv_parity():
-    """Fused two-conv strip kernel (conv_tlane_chain_pair): reflect-SAME
-    composition with the intermediate VMEM-resident, incl. the in-kernel
-    mid-halo mirrors at both H boundaries and the lane guards. (Measured
-    slower than two single chain convs end-to-end, so models keep the
-    unfused path; the kernel is retained as groundwork + regression
-    coverage for the mirror logic.)"""
+    """Fused two-conv strip kernel (conv_tlane_chain_pair, round-3
+    rewrite): reflect-SAME composition with the intermediate
+    VMEM-resident; BOTH halos (input pa + mid pb) are mirrored in-kernel
+    — no chain_refresh_halo prepass — with ssai interior-slice
+    epilogues."""
     import jax
 
     from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import (
-        chain_enter, chain_exit, chain_refresh_halo, conv_tlane_chain_pair)
+        chain_enter, chain_exit, conv_tlane_chain_pair)
 
     r = np.random.RandomState(2)
 
@@ -355,7 +354,7 @@ def test_chain_pair_fused_conv_parity():
         ba = jnp.asarray(r.rand(cmid) - 0.5, jnp.float32)
         bb = jnp.asarray(r.rand(cout) - 0.5, jnp.float32)
         want = ref_conv(ref_conv(x, wa, ka, ba, True), wb, kb, bb, False)
-        xt = chain_refresh_halo(chain_enter(x), h, w, ka // 2 + kb // 2)
+        xt = chain_enter(x)
         yt = conv_tlane_chain_pair(xt, wa, wb, ka, kb, h=h, w_valid=w,
                                    bias_a=ba, act_a="relu", bias_b=bb,
                                    act_b=None, rows=16, interpret=True)

@@ -369,24 +369,40 @@ class ConvLayer(nn.Module):
             if _scratch_est(rows) > budget:
                 # Wide-concat layer (nest decoders reach c_in=304+ at
                 # full-res lane width): even rows=8 blows the scoped-vmem
-                # budget, so split c_in into chunks, run a partial conv per
-                # chunk (no bias/act), and sum — bias + activation apply
-                # after the sum (the conv is linear in its input channels).
-                n = 2
-                # best effort: stop at csz==1 even if the (c-independent)
-                # acc+stage terms alone exceed the budget
-                while n < in_ch and _scratch_est(8, -(-in_ch // n)) > budget:
-                    n += 1
-                csz = -(-in_ch // n)
-                y = None
-                for i0 in range(0, in_ch, csz):
-                    yi = conv_tlane_chain(
-                        x[:, i0:i0 + csz],
-                        kernel[:, :, i0:i0 + csz].astype(x.dtype),
-                        self.ksize, h=h, w_valid=w, rows=8, halo=True,
-                        kw_chunk=kwc, fuse_n=chain_fuse_n, epilogue=epi,
-                        interpret=interp)
-                    y = yi if y is None else y + yi
+                # budget. Two fallbacks:
+                # - 2-way c_in chunking (partial convs summed before
+                #   bias/act — the conv is linear in input channels) when
+                #   that fits;
+                # - otherwise XLA's native conv on the (halo-refreshed)
+                #   guard tensor: many-chunk splits materialize n full-res
+                #   partial outputs (MAFusion's 320->480 scale-0 layer
+                #   OOM'd HBM with 12 x 5.4 GB partials), and XLA's conv
+                #   lowering is respectable at c>=128 anyway (~20 TF).
+                if _scratch_est(8, -(-in_ch // 2)) <= budget:
+                    csz = -(-in_ch // 2)
+                    y = None
+                    for i0 in range(0, in_ch, csz):
+                        yi = conv_tlane_chain(
+                            x[:, i0:i0 + csz],
+                            kernel[:, :, i0:i0 + csz].astype(x.dtype),
+                            self.ksize, h=h, w_valid=w, rows=8, halo=True,
+                            kw_chunk=kwc, fuse_n=chain_fuse_n, epilogue=epi,
+                            interpret=interp)
+                        y = yi if y is None else y + yi
+                else:
+                    from .pallas.chain_ops import chain_place
+                    from .pallas.conv_kernel import (CHAIN_GUARD, CHAIN_WG,
+                                                     chain_refresh_halo)
+                    if chain_fuse_n:
+                        x = x[:chain_fuse_n] + x[chain_fuse_n:]
+                    p = self.ksize // 2
+                    xh = chain_refresh_halo(x, h, w, p)
+                    v = xh[:, :, CHAIN_GUARD - p:CHAIN_GUARD + h + p,
+                           CHAIN_WG - p:CHAIN_WG + w + p]
+                    y = jax.lax.conv_general_dilated(
+                        v, kernel.astype(v.dtype), (1, 1), "VALID",
+                        dimension_numbers=("NCHW", "HWIO", "NCHW"))
+                    y = chain_place(y)
                 if eff_bias is not None:
                     y = y + eff_bias[None, :, None, None].astype(y.dtype)
                 return get_act(self.act)(y)

@@ -230,11 +230,13 @@ def test_chain_enter_exit_gray_kernels():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
-def test_chain_conv_channel_chunked_wide_layer(monkeypatch):
-    """Wide-concat chain convs (nest decoders reach c_in=304+ at full-res)
-    split c_in into partial convs summed before bias+act when the scoped-
-    vmem estimate exceeds budget. Forced here via a tiny budget override;
-    must bit-match the unchunked fast path."""
+@pytest.mark.parametrize("budget", ["1000000", "500000"])
+def test_chain_conv_channel_chunked_wide_layer(monkeypatch, budget):
+    """Wide-concat chain convs over the scoped-vmem budget: 2-way c_in
+    chunking (partial convs summed before bias+act) when the halves fit
+    (budget=1000000 on DenseFuse's c_in=64 layers), else the XLA-conv
+    fallback on the halo-refreshed guard tensor (budget=500000). Both
+    forced via the budget override; must match the unchunked fast path."""
     import jax
 
     from multi_modal_image_fusion_tpu.models import create_model
@@ -247,7 +249,7 @@ def test_chain_conv_channel_chunked_wide_layer(monkeypatch):
     x2 = jnp.asarray(r.rand(1, 30, 44, 1), jnp.float32)
     v = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
     want = model.apply(v, x1, x2, train=False)
-    monkeypatch.setenv("MMIF_CHAIN_VMEM_BUDGET", "800000")  # force chunking
+    monkeypatch.setenv("MMIF_CHAIN_VMEM_BUDGET", budget)
     with fast_inference():
         got = model.apply(v, x1, x2, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -226,10 +226,12 @@ class DeepFuse(_FusionModel):
             # Fused two-conv strip kernels (round-3 rewrite: in-kernel
             # halos + ssai epilogues): enc0+enc1 share strips with the
             # 16-ch intermediate VMEM-resident, and dec1+dec2 eliminate
-            # the c_out=1 tail conv's input re-read (~15 ms of pure DMA
-            # overhead at b16 full res, tools/probe_breakdown.py).
-            # MMIF_NO_CHAIN_PAIR=1 falls back to single-layer chain convs.
-            use_pair = not os.environ.get("MMIF_NO_CHAIN_PAIR")
+            # the c_out=1 tail conv's input re-read. Measured end-to-end:
+            # 85.4 vs 100.8 pairs/s at b16 full res — the per-strip cost
+            # of two convs' VPU work on the larger mid tiles loses more
+            # than the saved HBM round trip, mirroring the rows=32
+            # regression. OPT-IN via MMIF_CHAIN_PAIR=1; default unfused.
+            use_pair = bool(os.environ.get("MMIF_CHAIN_PAIR"))
             interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
 
             def pair(t, la, in_a, lb, in_b):

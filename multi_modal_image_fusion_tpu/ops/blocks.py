@@ -473,7 +473,13 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False, chain_hw=None):
-        hid_ch = (x.shape[1] if chain_hw is not None else x.shape[-1]) // 2
+        # x may be a tuple of chain tensors (decomposed concat: ConvLayer
+        # computes conv(concat(x)) as a sum of per-part convs)
+        if isinstance(x, (tuple, list)):
+            hid_ch = sum(t.shape[1] for t in x) // 2
+        else:
+            hid_ch = (x.shape[1] if chain_hw is not None
+                      else x.shape[-1]) // 2
         y = ConvLayer(hid_ch, ksize=self.ksize1, name="conv1")(
             x, train, chain_hw=chain_hw)
         return ConvLayer(self.out_ch, ksize=self.ksize2, name="conv2")(
@@ -500,14 +506,17 @@ class RFN(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2, train=False, chain_hw=None):
-        ax = 1 if chain_hw is not None else -1
+        chain = chain_hw is not None
+        # chain tensors pass as part-tuples: ConvLayer computes
+        # conv(concat(...)) as summed per-part convs, skipping the concat
         f_res = ConvLayer(self.num_ch, name="res")(
-            concat_fusion((x1, x2), axis=ax), train, chain_hw=chain_hw)
+            (x1, x2) if chain else concat_fusion((x1, x2)),
+            train, chain_hw=chain_hw)
         f1 = ConvLayer(self.num_ch, name="conv1")(x1, train,
                                                   chain_hw=chain_hw)
         f2 = ConvLayer(self.num_ch, name="conv2")(x2, train,
                                                   chain_hw=chain_hw)
-        y = concat_fusion((f1, f2), axis=ax)
+        y = (f1, f2) if chain else concat_fusion((f1, f2))
         y = ConvLayer(self.num_ch, ksize=1, name="fuse1")(y, train,
                                                           chain_hw=chain_hw)
         y = ConvLayer(self.num_ch, name="fuse2")(y, train,
@@ -671,11 +680,10 @@ class NestDecoder(nn.Module):
                 return chain_upsample(xt, *hws[i_from], hws[i_to], 2,
                                       self.up_mode)[0]
 
-            def cat(ts):
-                return concat_fusion(ts, axis=1)
-
             def run(name, ch, ts, i):
-                return blk(ch, name=name)(cat(ts), train, chain_hw=hws[i])
+                # pass the parts (no concat): ConvLayer decomposes
+                # conv(concat(ts)) into summed per-part convs
+                return blk(ch, name=name)(ts, train, chain_hw=hws[i])
 
             x1_1 = run("DB1_1", self.num_ch[0],
                        (feats[0], up(feats[1], 1, 0)), 0)
@@ -732,8 +740,10 @@ class FSDecoder(nn.Module):
                                       self.up_mode)[0]
 
             def run(name, ch, ts, i):
-                return blk(ch, name=name)(concat_fusion(ts, axis=1), train,
-                                          chain_hw=hws[i])
+                # pass the parts (no concat): the scale-0 DB concats reach
+                # 2.7 GB/image at full res; ConvLayer decomposes
+                # conv(concat(ts)) into summed per-part convs instead
+                return blk(ch, name=name)(ts, train, chain_hw=hws[i])
 
             y3 = run("DB3", self.num_ch[2],
                      (down(feats[0], 0, 2, 4), down(feats[1], 1, 2, 2),

@@ -18,6 +18,15 @@ __all__ = [
 eps = 1e-7
 
 
+def _dot_prec(t):
+    """Precision for the nl-attention einsums: exact multi-pass f32 when the
+    features are f32 (parity/golden path), single-pass MXU dot for bf16
+    inference (f32 accumulation via preferred_element_type either way). The
+    f32-forced dot on bf16 inputs runs ~6x slower on the MXU and was the
+    dominant cost of Res2Fusion at full resolution."""
+    return "float32" if t.dtype == jnp.float32 else None
+
+
 def element_fusion(t1, t2, mode="sum"):
     """reference core/fusion.py:21-29"""
     if mode == "sum":
@@ -132,20 +141,20 @@ def spatial_pooling(t, mode="l1", caxis=-1):
         pooled = _avg_pool8(t)
         q = t.reshape(b, h * w, c)
         k = pooled.reshape(b, -1, c)
+        prec = _dot_prec(t)
         if h * w <= (1 << 18):
-            energy = jnp.einsum("bnc,bmc->bnm", q, k,
-                                precision="float32",
+            energy = jnp.einsum("bnc,bmc->bnm", q, k, precision=prec,
                                 preferred_element_type=jnp.float32)
             e_min = energy.min()
             e_max = energy.max()
             energy = (energy - e_min) / (e_max - e_min)
             attn_w = jax.nn.softmax(energy, axis=-1)
-            attn = jnp.einsum("bnm,bmc->bnc", attn_w, k,
-                              precision="float32",
+            attn = jnp.einsum("bnm,bmc->bnc", attn_w.astype(k.dtype), k,
+                              precision=prec,
                               preferred_element_type=jnp.float32)
         else:
             attn = _nl_spatial_blocked(q, k)
-        return attn.reshape(b, h, w, c) + t
+        return attn.astype(t.dtype).reshape(b, h, w, c) + t
 
     raise ValueError(
         "only supported ['sum', 'mean', 'l1', 'l2', 'linf', 'nl'] mode")
@@ -157,13 +166,14 @@ def _nl_spatial_blocked(q, k, block=4096):
     block-by-block over queries with lax.scan. Two passes because the
     normalization needs the global energy min/max before any softmax."""
     b, n, c = q.shape
+    prec = _dot_prec(q)
     pad = (-n) % block
     qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
     blocks = qp.reshape(b, -1, block, c).transpose(1, 0, 2, 3)
 
     def emin_emax(carry, q_blk):
         lo, hi = carry
-        e = jnp.einsum("bnc,bmc->bnm", q_blk, k, precision="float32",
+        e = jnp.einsum("bnc,bmc->bnm", q_blk, k, precision=prec,
                        preferred_element_type=jnp.float32)
         return (jnp.minimum(lo, e.min()), jnp.maximum(hi, e.max())), None
 
@@ -174,17 +184,17 @@ def _nl_spatial_blocked(q, k, block=4096):
                                blocks[:n_full])
     if n % block:
         e_tail = jnp.einsum("bnc,bmc->bnm", q[:, n_full * block:], k,
-                            precision="float32",
+                            precision=prec,
                             preferred_element_type=jnp.float32)
         lo = jnp.minimum(lo, e_tail.min())
         hi = jnp.maximum(hi, e_tail.max())
 
     def apply_blk(_, q_blk):
-        e = jnp.einsum("bnc,bmc->bnm", q_blk, k, precision="float32",
+        e = jnp.einsum("bnc,bmc->bnm", q_blk, k, precision=prec,
                        preferred_element_type=jnp.float32)
         e = (e - lo) / (hi - lo)
         a = jax.nn.softmax(e, axis=-1)
-        o = jnp.einsum("bnm,bmc->bnc", a, k, precision="float32",
+        o = jnp.einsum("bnm,bmc->bnc", a.astype(k.dtype), k, precision=prec,
                        preferred_element_type=jnp.float32)
         return None, o
 
@@ -229,18 +239,18 @@ def channel_pooling(t, mode="avg", caxis=-1, valid_hw=None):
 
     elif mode == "nl":
         # Gram-matrix channel attention: energy [B,C,C]
+        prec = _dot_prec(t)
         q = jnp.moveaxis(t, -1, 1).reshape(b, c, h * w)
-        energy = jnp.einsum("bcn,bdn->bcd", q, q,
-                            precision="float32",
+        energy = jnp.einsum("bcn,bdn->bcd", q, q, precision=prec,
                             preferred_element_type=jnp.float32)
         e_min = energy.min()
         e_max = energy.max()
         energy = (energy - e_min) / (e_max - e_min)
         attn_w = jax.nn.softmax(energy, axis=-1)
-        attn = jnp.einsum("bcd,bdn->bcn", attn_w, q,
-                          precision="float32",
-                            preferred_element_type=jnp.float32)
+        attn = jnp.einsum("bcd,bdn->bcn", attn_w.astype(q.dtype), q,
+                          precision=prec,
+                          preferred_element_type=jnp.float32)
         attn = jnp.moveaxis(attn.reshape(b, c, h, w), 1, -1)
-        return attn + t
+        return attn.astype(t.dtype) + t
 
     raise ValueError("only supported ['avg', 'max', 'nuclear', 'nl'] mode")

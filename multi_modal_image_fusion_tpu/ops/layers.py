@@ -278,9 +278,15 @@ class ConvLayer(nn.Module):
 
         if chain_hw is not None:
             # x is a guard-layout (B, C, HG, Wp) chain tensor (see
-            # conv_kernel.conv_tlane_chain): reflect-SAME convs (k1 runs as
-            # a channel matmul, no halo); eval-mode BatchNorm folds into
-            # the conv weights (y*g + t with g = scale/sqrt(var+eps))
+            # conv_kernel.conv_tlane_chain) — or a tuple of them: a conv is
+            # linear in input channels, so conv(concat(parts)) is computed
+            # as a sum of per-part convs without ever materializing the
+            # concat (the nest/FS decoders' full-res concats reach
+            # multi-GB; MAFusion's scale-0 DB concat alone is 2.7 GB).
+            # Reflect-SAME convs (k1 runs as a channel matmul, no halo);
+            # eval-mode BatchNorm folds into the conv weights (y*g + t
+            # with g = scale/sqrt(var+eps))
+            parts = x if isinstance(x, (tuple, list)) else None
             assert (self.pre_norm is None and not self.transpose
                     and self.stride == 1 and self.groups == 1
                     and self.dilation == 1 and not train
@@ -289,9 +295,12 @@ class ConvLayer(nn.Module):
                     # chain halos are reflect-mirrored (chain_refresh_halo);
                     # a zero/constant-pad layer must not take this path
                     and (self.ksize == 1 or self.pad_mode == "reflect"))
+            assert parts is None or (chain_defer_in_ch is None
+                                     and not chain_fuse_n)
             from .pallas.conv_kernel import conv_tlane_chain
 
-            in_ch = (x.shape[1] if chain_defer_in_ch is None
+            in_ch = ((sum(p.shape[1] for p in parts) if parts is not None
+                      else x.shape[1]) if chain_defer_in_ch is None
                      else chain_defer_in_ch)
             kernel = self.param(
                 "kernel", kernel_init_for(self.act),
@@ -314,23 +323,27 @@ class ConvLayer(nn.Module):
                 return kernel, eff_bias, self.ksize, self.act
 
             if self.ksize == 1:
-                if chain_fuse_n:
-                    x = x[:chain_fuse_n] + x[chain_fuse_n:]
-                y = jnp.einsum("bchw,cd->bdhw", x,
-                               kernel[0, 0].astype(x.dtype))
+                if parts is not None:
+                    y, ofs = None, 0
+                    for p_ in parts:
+                        c = p_.shape[1]
+                        yi = jnp.einsum(
+                            "bchw,cd->bdhw", p_,
+                            kernel[0, 0, ofs:ofs + c].astype(p_.dtype))
+                        y = yi if y is None else y + yi
+                        ofs += c
+                else:
+                    if chain_fuse_n:
+                        x = x[:chain_fuse_n] + x[chain_fuse_n:]
+                    y = jnp.einsum("bchw,cd->bdhw", x,
+                                   kernel[0, 0].astype(x.dtype))
                 if eff_bias is not None:
                     y = y + eff_bias[None, :, None, None].astype(y.dtype)
                 return get_act(self.act)(y)
 
             fuse_ba = self.act is None or self.act in _FUSABLE_ACTS
 
-            # VMEM-aware strip height: rows=16 is the measured optimum for
-            # the fat full-res layers, but wide concat layers (NestFuse
-            # DB2_2 reaches c_in=384 at 640-lane scale-1 buffers) blow the
-            # scoped-vmem budget at rows=16 — estimate the kernel's scratch
-            # (t + a + acc + stage; Mosaic's accounting runs ~1.6x the
-            # nominal bytes) and drop to rows=8 when it would exceed limit.
-            wp_l = x.shape[3]
+            wp_l = (parts[0] if parts is not None else x).shape[3]
             esz = 2  # bf16
 
             # kw_chunk sizes the f32 partial-product temp (kw_chunk *
@@ -344,11 +357,17 @@ class ConvLayer(nn.Module):
             big_out = self.out_ch >= 128
             kwc = 1 if big_out else self.ksize
             epi = "acc" if big_out else "ssa"
+            budget = int(os.environ.get("MMIF_CHAIN_VMEM_BUDGET",
+                                        55 * 1024 * 1024))
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
 
-            def _scratch_est(rows, c=None):
-                c = in_ch if c is None else c
+            def _scratch_est(rows, c, fuse_n):
+                # VMEM-aware strip height: rows=16 is the measured optimum
+                # for the fat full-res layers, but wide layers blow the
+                # scoped-vmem budget at rows=16 (Mosaic's accounting runs
+                # ~1.6x the nominal bytes) — estimate t + a + acc + stage
                 tdma = -(-(8 + rows + self.ksize // 2) // 8) * 8
-                n_slots = 4 if chain_fuse_n else 2
+                n_slots = 4 if fuse_n else 2
                 t = n_slots * c * tdma * wp_l * esz
                 a = self.ksize * c * rows * wp_l * esz
                 stage = 2 * self.out_ch * rows * wp_l * esz
@@ -361,15 +380,30 @@ class ConvLayer(nn.Module):
                     acc = self.out_ch * rows * wp_l * 4
                 return t + a + acc + stage + p
 
-            budget = int(os.environ.get("MMIF_CHAIN_VMEM_BUDGET",
-                                        55 * 1024 * 1024))
-            rows = 16 if _scratch_est(16) <= budget else 8
-            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
-
-            if _scratch_est(rows) > budget:
-                # Wide-concat layer (nest decoders reach c_in=304+ at
-                # full-res lane width): even rows=8 blows the scoped-vmem
-                # budget. Two fallbacks:
+            def _conv_one(xp, kp, bias_, act_, fuse_n):
+                # One chain conv (no concat semantics), picking per-input
+                # strip height and fallbacks by the vmem estimate.
+                c_in = xp.shape[1]
+                rows = 16 if _scratch_est(16, c_in, fuse_n) <= budget else 8
+                if _scratch_est(rows, c_in, fuse_n) <= budget:
+                    # halo=True mirrors the reflect halo in-kernel: the
+                    # XLA chain_refresh_halo costs ~15 ms/layer at full
+                    # res (docs/PERFORMANCE.md round-3 profile). fuse_n
+                    # folds a preceding elementwise-sum siamese fusion
+                    # into this conv's input DMA.
+                    return conv_tlane_chain(
+                        xp, kp.astype(xp.dtype), self.ksize, h=h,
+                        w_valid=w, bias=bias_, act=act_, rows=rows,
+                        halo=True, kw_chunk=kwc, fuse_n=fuse_n,
+                        epilogue=epi, interpret=interp)
+                if bias_ is not None or act_ is not None:
+                    y = _conv_one(xp, kp, None, None, fuse_n)
+                    if bias_ is not None:
+                        y = y + bias_[None, :, None, None].astype(y.dtype)
+                    return get_act(act_)(y)
+                # Wide layer (nest decoders reach c_in=304+ at full-res
+                # lane width): even rows=8 blows the scoped-vmem budget.
+                # Two fallbacks:
                 # - 2-way c_in chunking (partial convs summed before
                 #   bias/act — the conv is linear in input channels) when
                 #   that fits;
@@ -378,47 +412,49 @@ class ConvLayer(nn.Module):
                 #   partial outputs (MAFusion's 320->480 scale-0 layer
                 #   OOM'd HBM with 12 x 5.4 GB partials), and XLA's conv
                 #   lowering is respectable at c>=128 anyway (~20 TF).
-                if _scratch_est(8, -(-in_ch // 2)) <= budget:
-                    csz = -(-in_ch // 2)
+                if _scratch_est(8, -(-c_in // 2), fuse_n) <= budget:
+                    csz = -(-c_in // 2)
                     y = None
-                    for i0 in range(0, in_ch, csz):
+                    for i0 in range(0, c_in, csz):
                         yi = conv_tlane_chain(
-                            x[:, i0:i0 + csz],
-                            kernel[:, :, i0:i0 + csz].astype(x.dtype),
+                            xp[:, i0:i0 + csz],
+                            kp[:, :, i0:i0 + csz].astype(xp.dtype),
                             self.ksize, h=h, w_valid=w, rows=8, halo=True,
-                            kw_chunk=kwc, fuse_n=chain_fuse_n, epilogue=epi,
+                            kw_chunk=kwc, fuse_n=fuse_n, epilogue=epi,
                             interpret=interp)
                         y = yi if y is None else y + yi
-                else:
-                    from .pallas.chain_ops import chain_place
-                    from .pallas.conv_kernel import (CHAIN_GUARD, CHAIN_WG,
-                                                     chain_refresh_halo)
-                    if chain_fuse_n:
-                        x = x[:chain_fuse_n] + x[chain_fuse_n:]
-                    p = self.ksize // 2
-                    xh = chain_refresh_halo(x, h, w, p)
-                    v = xh[:, :, CHAIN_GUARD - p:CHAIN_GUARD + h + p,
-                           CHAIN_WG - p:CHAIN_WG + w + p]
-                    y = jax.lax.conv_general_dilated(
-                        v, kernel.astype(v.dtype), (1, 1), "VALID",
-                        dimension_numbers=("NCHW", "HWIO", "NCHW"))
-                    y = chain_place(y)
+                    return y
+                from .pallas.chain_ops import chain_place
+                from .pallas.conv_kernel import (CHAIN_GUARD, CHAIN_WG,
+                                                 chain_refresh_halo)
+                if fuse_n:
+                    xp = xp[:fuse_n] + xp[fuse_n:]
+                p = self.ksize // 2
+                xh = chain_refresh_halo(xp, h, w, p)
+                v = xh[:, :, CHAIN_GUARD - p:CHAIN_GUARD + h + p,
+                       CHAIN_WG - p:CHAIN_WG + w + p]
+                y = jax.lax.conv_general_dilated(
+                    v, kp.astype(v.dtype), (1, 1), "VALID",
+                    dimension_numbers=("NCHW", "HWIO", "NCHW"))
+                return chain_place(y)
+
+            if parts is not None:
+                # decomposed concat->conv: per-part convs summed, bias/act
+                # applied once on the sum
+                y, ofs = None, 0
+                for p_ in parts:
+                    c = p_.shape[1]
+                    yi = _conv_one(p_, kernel[:, :, ofs:ofs + c], None,
+                                   None, 0)
+                    y = yi if y is None else y + yi
+                    ofs += c
                 if eff_bias is not None:
                     y = y + eff_bias[None, :, None, None].astype(y.dtype)
                 return get_act(self.act)(y)
 
-            # halo=True mirrors the reflect halo in-kernel: the XLA
-            # chain_refresh_halo costs ~15 ms/layer at full res
-            # (docs/PERFORMANCE.md round-3 profile). chain_fuse_n folds a
-            # preceding elementwise-sum siamese fusion into this conv's
-            # input DMA.
-            y = conv_tlane_chain(x, kernel.astype(x.dtype), self.ksize,
-                                 h=h, w_valid=w,
-                                 bias=eff_bias if fuse_ba else None,
-                                 act=self.act if fuse_ba else None,
-                                 rows=rows, halo=True, kw_chunk=kwc,
-                                 fuse_n=chain_fuse_n, epilogue=epi,
-                                 interpret=interp)
+            y = _conv_one(x, kernel,
+                          eff_bias if fuse_ba else None,
+                          self.act if fuse_ba else None, chain_fuse_n)
             if not fuse_ba:
                 if eff_bias is not None:
                     y = y + eff_bias[None, :, None, None].astype(y.dtype)

@@ -92,3 +92,23 @@ def test_nl_spatial_blocked_matches_dense():
 
     got = np.asarray(_nl_spatial_blocked(q, k, block=1000))  # ragged blocks
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_attention_fusion_nl_bf16_close_to_f32():
+    """bf16 features take the single-pass MXU dot (f32 accumulation); the
+    result must track the exact-f32 path within bf16 rounding budget and come
+    back in the input dtype so the downstream decoder stays bf16."""
+    import jax.numpy as jnp
+
+    r = np.random.RandomState(1)
+    t1 = np.asarray(r.rand(1, 64, 96, 8), np.float32)
+    t2 = np.asarray(r.rand(1, 64, 96, 8), np.float32)
+    want = np.asarray(F.attention_fusion(jnp.asarray(t1), jnp.asarray(t2),
+                                         "sca", spatial_mode="nl",
+                                         channel_mode="nl"))
+    got = F.attention_fusion(jnp.asarray(t1, jnp.bfloat16),
+                             jnp.asarray(t2, jnp.bfloat16),
+                             "sca", spatial_mode="nl", channel_mode="nl")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=2e-2, rtol=2e-2)

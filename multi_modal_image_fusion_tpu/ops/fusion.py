@@ -27,6 +27,17 @@ def _dot_prec(t):
     return "float32" if t.dtype == jnp.float32 else None
 
 
+def _flash_nl_ready():
+    """Use the VMEM-resident flash kernel (pallas/nl_kernel.py) for
+    above-threshold 'nl' spatial attention. Default: on for TPU, off
+    elsewhere; MMIF_FLASH_NL=0/1 overrides."""
+    import os
+    v = os.environ.get("MMIF_FLASH_NL", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
 def element_fusion(t1, t2, mode="sum"):
     """reference core/fusion.py:21-29"""
     if mode == "sum":
@@ -152,6 +163,9 @@ def spatial_pooling(t, mode="l1", caxis=-1):
             attn = jnp.einsum("bnm,bmc->bnc", attn_w.astype(k.dtype), k,
                               precision=prec,
                               preferred_element_type=jnp.float32)
+        elif _flash_nl_ready():
+            from .pallas.nl_kernel import nl_spatial_flash
+            attn = nl_spatial_flash(q, k)
         else:
             attn = _nl_spatial_blocked(q, k)
         return attn.astype(t.dtype).reshape(b, h, w, c) + t

@@ -164,8 +164,7 @@ def spatial_pooling(t, mode="l1", caxis=-1):
                               precision=prec,
                               preferred_element_type=jnp.float32)
         elif _flash_nl_ready():
-            from .pallas.nl_kernel import nl_spatial_flash
-            attn = nl_spatial_flash(q, k)
+            attn = _nl_spatial_flash_diff(q, k)
         else:
             attn = _nl_spatial_blocked(q, k)
         return attn.astype(t.dtype).reshape(b, h, w, c) + t
@@ -215,6 +214,30 @@ def _nl_spatial_blocked(q, k, block=4096):
     _, outs = jax.lax.scan(apply_blk, None, blocks)
     out = outs.transpose(1, 0, 2, 3).reshape(b, -1, c)
     return out[:, :n]
+
+
+@jax.custom_vjp
+def _nl_spatial_flash_diff(q, k):
+    """Flash kernel forward with a blocked-XLA-path backward: the Pallas
+    kernel has no VJP, so gradients recompute through
+    `_nl_spatial_blocked` (differentiable scan) — identical math, same
+    memory behavior under grad as before the kernel existed."""
+    from .pallas.nl_kernel import nl_spatial_flash
+    return nl_spatial_flash(q, k)
+
+
+def _nl_flash_fwd(q, k):
+    return _nl_spatial_flash_diff(q, k), (q, k)
+
+
+def _nl_flash_bwd(res, g):
+    q, k = res
+    _, vjp = jax.vjp(_nl_spatial_blocked, q, k)
+    dq, dk = vjp(g.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype)
+
+
+_nl_spatial_flash_diff.defvjp(_nl_flash_fwd, _nl_flash_bwd)
 
 
 def channel_pooling(t, mode="avg", caxis=-1, valid_hw=None):

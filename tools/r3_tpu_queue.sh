@@ -43,6 +43,10 @@ BENCH_MODEL=mafusion BENCH_BATCH=2 timeout 1800 python bench.py
 echo "=== $(date) headline deepfuse b16"
 timeout 1800 python bench.py
 
+echo "=== $(date) probe_s2d (space-to-depth packed conv rates)"
+timeout 3000 python tools/probe_s2d.py
+echo "--- probe_s2d exit: $?"
+
 echo "=== $(date) config #4 with --fast_train (Pallas VJP at full res)"
 timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
   --data polar --data_root /tmp/polar_full --model unfusion \

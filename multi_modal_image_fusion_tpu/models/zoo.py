@@ -222,7 +222,6 @@ class DeepFuse(_FusionModel):
                                                   conv_tlane_chain_pair)
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
-            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
             # Fused two-conv strip kernels (round-3 rewrite: in-kernel
             # halos + ssai epilogues): enc0+enc1 share strips with the
             # 16-ch intermediate VMEM-resident, and dec1+dec2 eliminate
@@ -233,6 +232,34 @@ class DeepFuse(_FusionModel):
             # regression. OPT-IN via MMIF_CHAIN_PAIR=1; default unfused.
             use_pair = bool(os.environ.get("MMIF_CHAIN_PAIR"))
             interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+
+            # Space-to-depth packed chain (MMIF_S2D=1, ops/s2d.py): the
+            # k5/k7 convs run as k3/k5 convs on f^2=4x the channels —
+            # kp/k less VPU staging/roll traffic per original pixel on
+            # the VPU-bound kernel, at (kp*f/k)^2 more MXU dot FLOPs
+            # (the MXU has ~3x headroom). Same math, f32-rounding equal.
+            use_s2d = (bool(os.environ.get("MMIF_S2D"))
+                       and not use_pair and h % 2 == 0 and w % 2 == 0)
+            if use_s2d:
+                from ..ops.s2d import s2d_pack, s2d_unpack
+
+                t = chain_enter(
+                    s2d_pack(jnp.concatenate([img1, img2], axis=0), 2))
+                hw = (h // 2, w // 2)
+                for layer in self.enc:
+                    t = layer(t, train=False, chain_hw=hw, chain_s2d=2)
+                if self.fusion_mode == "sum":
+                    t = self.dec[0](t, train=False, chain_hw=hw,
+                                    chain_fuse_n=n, chain_s2d=2)
+                else:
+                    t = element_fusion(t[:n], t[n:], self.fusion_mode)
+                    t = self.dec[0](t, train=False, chain_hw=hw,
+                                    chain_s2d=2)
+                for layer in self.dec[1:]:
+                    t = layer(t, train=False, chain_hw=hw, chain_s2d=2)
+                return s2d_unpack(chain_exit(t, *hw), 2)
+
+            t = chain_enter(jnp.concatenate([img1, img2], axis=0))
 
             def pair(t, la, in_a, lb, in_b):
                 wa, ba, ka, aa = la(None, chain_hw=(h, w),

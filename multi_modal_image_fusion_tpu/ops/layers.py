@@ -270,7 +270,7 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False, chain_hw=None, chain_fuse_n=0,
-                 chain_defer_in_ch=None):
+                 chain_defer_in_ch=None, chain_s2d=0):
         pad = self.ksize // 2 if self.padding is None else self.padding
         bias = self.use_bias
         if bias is None:
@@ -302,6 +302,15 @@ class ConvLayer(nn.Module):
             in_ch = ((sum(p.shape[1] for p in parts) if parts is not None
                       else x.shape[1]) if chain_defer_in_ch is None
                      else chain_defer_in_ch)
+            # space-to-depth packed chain (ops/s2d.py): x carries f^2
+            # phase channels per original channel and chain_hw is the
+            # PACKED (h/f, w/f); params keep the ORIGINAL shape and the
+            # kernel/bias are packed at trace time
+            f = chain_s2d if chain_s2d and chain_s2d > 1 else 1
+            if f > 1:
+                assert f == 2 and parts is None \
+                    and chain_defer_in_ch is None and not self.norm
+                in_ch //= f * f
             kernel = self.param(
                 "kernel", kernel_init_for(self.act),
                 (self.ksize, self.ksize, in_ch, self.out_ch))
@@ -314,6 +323,16 @@ class ConvLayer(nn.Module):
                 eff_bias = ((b if b is not None else 0.0) - mu) * g + bn_b
             else:
                 eff_bias = b
+            if f > 1:
+                from .s2d import (s2d_pack_bias, s2d_pack_weights,
+                                  s2d_span)
+                k_run = s2d_span(self.ksize, f)
+                kernel = s2d_pack_weights(kernel, f)
+                if eff_bias is not None:
+                    eff_bias = s2d_pack_bias(eff_bias, f)
+                c_out_run = self.out_ch * f * f
+            else:
+                k_run, c_out_run = self.ksize, self.out_ch
             h, w = chain_hw
 
             if chain_defer_in_ch is not None:
@@ -354,8 +373,8 @@ class ConvLayer(nn.Module):
             # kw_chunk=1 with the acc epilogue; everything else takes the
             # 'ssa' roll-sum epilogue (measured +1..8% over acc, never
             # worse — tools/probe_epilogue.py round 3).
-            big_out = self.out_ch >= 128
-            kwc = 1 if big_out else self.ksize
+            big_out = c_out_run >= 128 and f == 1
+            kwc = 1 if big_out else k_run
             epi = "acc" if big_out else "ssa"
             budget = int(os.environ.get("MMIF_CHAIN_VMEM_BUDGET",
                                         55 * 1024 * 1024))
@@ -366,18 +385,18 @@ class ConvLayer(nn.Module):
                 # for the fat full-res layers, but wide layers blow the
                 # scoped-vmem budget at rows=16 (Mosaic's accounting runs
                 # ~1.6x the nominal bytes) — estimate t + a + acc + stage
-                tdma = -(-(8 + rows + self.ksize // 2) // 8) * 8
+                tdma = -(-(8 + rows + k_run // 2) // 8) * 8
                 n_slots = 4 if fuse_n else 2
                 t = n_slots * c * tdma * wp_l * esz
-                a = self.ksize * c * rows * wp_l * esz
-                stage = 2 * self.out_ch * rows * wp_l * esz
+                a = k_run * c * rows * wp_l * esz
+                stage = 2 * c_out_run * rows * wp_l * esz
                 if epi == "ssa":
                     # full-k dot temp + ~2 roll temps; no acc buffer
-                    p = (self.ksize + 2) * self.out_ch * rows * wp_l * 4
+                    p = (k_run + 2) * c_out_run * rows * wp_l * 4
                     acc = 0
                 else:
-                    p = min(kwc, self.ksize) * self.out_ch * rows * wp_l * 4
-                    acc = self.out_ch * rows * wp_l * 4
+                    p = min(kwc, k_run) * c_out_run * rows * wp_l * 4
+                    acc = c_out_run * rows * wp_l * 4
                 return t + a + acc + stage + p
 
             def _conv_one(xp, kp, bias_, act_, fuse_n):
@@ -392,10 +411,15 @@ class ConvLayer(nn.Module):
                     # folds a preceding elementwise-sum siamese fusion
                     # into this conv's input DMA.
                     return conv_tlane_chain(
-                        xp, kp.astype(xp.dtype), self.ksize, h=h,
+                        xp, kp.astype(xp.dtype), k_run, h=h,
                         w_valid=w, bias=bias_, act=act_, rows=rows,
                         halo=True, kw_chunk=kwc, fuse_n=fuse_n,
-                        epilogue=epi, interpret=interp)
+                        epilogue=epi, s2d_f=f, interpret=interp)
+                # the chunked/XLA fallbacks below are unpacked-only
+                # (channel chunks would split phase blocks; the XLA
+                # refresh mirrors without phase geometry)
+                assert f == 1, ("s2d chain conv exceeds the vmem budget; "
+                                "disable MMIF_S2D for this model")
                 if bias_ is not None or act_ is not None:
                     y = _conv_one(xp, kp, None, None, fuse_n)
                     if bias_ is not None:

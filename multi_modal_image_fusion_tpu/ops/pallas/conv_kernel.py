@@ -465,7 +465,7 @@ def chain_refresh_halo(xt, h, w, p):
 
 def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
                        out_dtype, kw_chunk, has_bias, act, p_half,
-                       halo_hw, bot_strips, fuse_n, epilogue):
+                       halo_hw, bot_strips, fuse_n, epilogue, s2d_f):
     """conv_tlane_dma's strip loop on the guard layout: the input's
     reflect halo is already in the guard bands and the output lands at the
     same (GUARD, WG) offset, so there is no pad, no transpose, and no crop
@@ -545,32 +545,75 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
         """Reflect halo on the staged strip: rows at the H boundaries
         (static copies, boundary strips only), then lanes every strip.
         Row mirrors run full-width and lane mirrors full-height, so the
-        corners compose exactly like chain_refresh_halo."""
+        corners compose exactly like chain_refresh_halo.
+
+        s2d_f == 2 (space-to-depth packed tensor, ops/s2d.py phase-major
+        channels): the halo must be the PACKED reflect extension of the
+        ORIGINAL image. For f=2 no cross-phase copies are needed — phase
+        0 mirrors exclusively (halo row -m <- valid row +m, like the
+        unpacked case) and phase 1 inclusively (halo -m <- valid m-1),
+        swapping roles at the bottom/right boundary. Row phase py owns
+        channel block [py*2C, (py+1)*2C); lane phase px owns [pxC, pxC+C)
+        inside each py block (phase-major layout), so each patch is 1
+        (rows) or 2 (lanes) static channel-block copies."""
         wv = halo_hw[1]
+        cb = c_in // (s2d_f * s2d_f) if s2d_f > 1 else c_in
+
+        def _row_blocks():
+            # (channel_lo, channel_hi, top_inclusive) per row-phase block
+            if s2d_f == 1:
+                return [(0, c_in, False)]
+            return [(0, 2 * cb, False), (2 * cb, 4 * cb, True)]
+
+        def _lane_blocks():
+            # (channel_lo, channel_hi, left_inclusive) per lane-phase block
+            if s2d_f == 1:
+                return [(0, c_in, False)]
+            out = []
+            for py in range(2):
+                base = py * 2 * cb
+                out.append((base, base + cb, False))
+                out.append((base + cb, base + 2 * cb, True))
+            return out
 
         def row_patches(j):
             sgj = g * hsub + j
 
             @pl.when(sgj == 0)
             def _():
-                for ii in range(p_half):
-                    t_ref[slot, :, 7 - ii:8 - ii, :] = \
-                        t_ref[slot, :, 9 + ii:10 + ii, :]
+                for lo, hi, inc in _row_blocks():
+                    for ii in range(p_half):
+                        # dst t-row 8-(ii+1); src 8+(ii+1) excl / 8+ii incl
+                        src = 8 + ii if inc else 9 + ii
+                        t_ref[slot, lo:hi, 7 - ii:8 - ii, :] = \
+                            t_ref[slot, lo:hi, src:src + 1, :]
             for s, th in bot_strips:
                 @pl.when(sgj == s)
                 def _(th=th):
-                    for ii in range(p_half):
-                        t_ref[slot, :, th + ii:th + ii + 1, :] = \
-                            t_ref[slot, :, th - 2 - ii:th - 1 - ii, :]
+                    for lo, hi, inc in _row_blocks():
+                        for ii in range(p_half):
+                            # dst th+ii; src th-1-ii incl(=top-excl block's
+                            # bottom role swaps) / th-2-ii excl
+                            src = th - 2 - ii if inc else th - 1 - ii
+                            if s2d_f == 1:
+                                src = th - 2 - ii
+                            t_ref[slot, lo:hi, th + ii:th + ii + 1, :] = \
+                                t_ref[slot, lo:hi, src:src + 1, :]
 
         def lane_patches():
-            for jj in range(p_half):
-                t_ref[slot, :, :, CHAIN_WG - 1 - jj:CHAIN_WG - jj] = \
-                    t_ref[slot, :, :, CHAIN_WG + 1 + jj:CHAIN_WG + 2 + jj]
-                t_ref[slot, :, :,
-                      CHAIN_WG + wv + jj:CHAIN_WG + wv + jj + 1] = \
-                    t_ref[slot, :, :,
-                          CHAIN_WG + wv - 2 - jj:CHAIN_WG + wv - 1 - jj]
+            for lo, hi, inc in _lane_blocks():
+                for jj in range(p_half):
+                    lsrc = CHAIN_WG + jj if inc else CHAIN_WG + 1 + jj
+                    rsrc = (CHAIN_WG + wv - 2 - jj if inc
+                            else CHAIN_WG + wv - 1 - jj)
+                    if s2d_f == 1:
+                        lsrc = CHAIN_WG + 1 + jj
+                        rsrc = CHAIN_WG + wv - 2 - jj
+                    t_ref[slot, lo:hi, :, CHAIN_WG - 1 - jj:CHAIN_WG - jj] \
+                        = t_ref[slot, lo:hi, :, lsrc:lsrc + 1]
+                    t_ref[slot, lo:hi, :,
+                          CHAIN_WG + wv + jj:CHAIN_WG + wv + jj + 1] = \
+                        t_ref[slot, lo:hi, :, rsrc:rsrc + 1]
         return row_patches, lane_patches
 
     def strip(j, carry):
@@ -672,10 +715,10 @@ def _conv_kernel_chain(*refs, k, rows, hsub, wp, tdma, c_in, c_out,
 @functools.partial(jax.jit,
                    static_argnames=("k", "h", "w_valid", "interpret",
                                     "hsub", "kw_chunk", "rows", "act",
-                                    "halo", "fuse_n", "epilogue"))
+                                    "halo", "fuse_n", "epilogue", "s2d_f"))
 def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
                      hsub=None, kw_chunk=7, rows=16, halo=False, fuse_n=0,
-                     epilogue="acc", interpret=False):
+                     epilogue="acc", s2d_f=1, interpret=False):
     """Guard-layout conv: xt (B, C_in, HG, Wp) with valid region
     (h, w_valid) at (CHAIN_GUARD, CHAIN_WG) -> (B, C_out, HG, Wp), same
     geometry. w is HWIO (k, k, C_in, C_out); bias/act as in conv_tlane_dma.
@@ -687,13 +730,21 @@ def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
     fuse_n>0: xt carries 2*fuse_n batch entries; the kernel computes
     conv(xt[i] + xt[i + fuse_n]) for i < fuse_n — elementwise-sum siamese
     fusion folded into this conv's input DMA ('mean' fusion: pre-scale w
-    by 0.5)."""
+    by 0.5).
+
+    s2d_f=2: xt is a space-to-depth packed tensor (ops/s2d.py phase-major
+    channels, w already packed with s2d_pack_weights and k the PACKED
+    span) — the in-kernel halo mirrors use the per-phase geometry so the
+    guard bands hold the packed reflect extension of the original image.
+    Requires halo=True (the XLA chain_refresh_halo is unpacked-only)."""
     w_arg = w
     b, c_in, hg, wp = xt.shape
     c_out = w_arg.shape[-1]
     p_half = k // 2
     assert p_half <= CHAIN_WG and p_half <= CHAIN_GUARD
     assert rows % 8 == 0
+    if s2d_f > 1:
+        assert s2d_f == 2 and c_in % 4 == 0 and halo, (s2d_f, c_in, halo)
     if fuse_n:
         assert b == 2 * fuse_n
     b_out = fuse_n if fuse_n else b
@@ -731,7 +782,7 @@ def conv_tlane_chain(xt, w, k, h, w_valid=None, bias=None, act=None,
         c_in=c_in, c_out=c_out, out_dtype=xt.dtype, kw_chunk=kw_chunk,
         has_bias=bias is not None, act=act, p_half=p_half,
         halo_hw=(h, w_valid) if halo else None, bot_strips=bot_strips,
-        fuse_n=fuse_n, epilogue=epilogue)
+        fuse_n=fuse_n, epilogue=epilogue, s2d_f=s2d_f)
     operands = [xt, wm]
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]

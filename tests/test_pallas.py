@@ -326,6 +326,34 @@ def test_model_chain_fast_path_parity(name, monkeypatch):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("fusion_mode", ["sum", "mean"])
+def test_deepfuse_s2d_chain_parity(fusion_mode, monkeypatch):
+    """Space-to-depth packed chain (MMIF_S2D=1): DeepFuse's whole forward
+    on f=2 packed tensors — packed weights (ops/s2d.py), per-phase
+    in-kernel halo mirrors (conv_kernel._mirror s2d patches) — must match
+    the normal forward to f32 rounding. Covers both the fuse_n-folded
+    'sum' fusion and the explicit elementwise path."""
+    import jax
+
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops.layers import fast_inference
+
+    monkeypatch.setenv("MMIF_CHAIN_INTERPRET", "1")
+    monkeypatch.setenv("MMIF_S2D", "1")
+    r = np.random.RandomState(3)
+    model = create_model("deepfuse", fusion_mode=fusion_mode)
+    # even H/W (s2d eligibility), odd packed height exercises the
+    # bottom-strip mirror geometry (15 rows -> h8=16 with a partial strip)
+    x1 = jnp.asarray(r.rand(2, 30, 44, 1), jnp.float32)
+    x2 = jnp.asarray(r.rand(2, 30, 44, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    want = model.apply(v, x1, x2, train=False)
+    with fast_inference():
+        got = model.apply(v, x1, x2, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
 def test_chain_pair_fused_conv_parity():
     """Fused two-conv strip kernel (conv_tlane_chain_pair, round-3
     rewrite): reflect-SAME composition with the intermediate

@@ -47,6 +47,10 @@ echo "=== $(date) probe_s2d (space-to-depth packed conv rates)"
 timeout 3000 python tools/probe_s2d.py
 echo "--- probe_s2d exit: $?"
 
+echo "=== $(date) headline deepfuse b16 with s2d packed chain"
+MMIF_S2D=1 timeout 1800 python bench.py
+echo "--- s2d bench exit: $?"
+
 echo "=== $(date) config #4 with --fast_train (Pallas VJP at full res)"
 timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
   --data polar --data_root /tmp/polar_full --model unfusion \

@@ -18,7 +18,16 @@ timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
   --data polar --data_root /tmp/polar_full --model unfusion \
   --bs 1 --epoch 2 --no-use_patches --no-fix_size \
   --ckpt_root /tmp/ckpts_cfg4
-echo "--- config4 exit: $?"
+rc=$?
+echo "--- config4 exit: $rc"
+if [ $rc -ne 0 ]; then
+  echo "=== config #4 fallback: res2fusion full-res (VERDICT item 6 names either)"
+  timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
+    --data polar --data_root /tmp/polar_full --model res2fusion \
+    --bs 1 --epoch 2 --no-use_patches --no-fix_size \
+    --ckpt_root /tmp/ckpts_cfg4_r2f
+  echo "--- config4 fallback exit: $?"
+fi
 
 echo "=== $(date) probe_nl (flash nl kernel vs blocked, full-res shape)"
 timeout 1500 python tools/probe_nl.py

@@ -56,6 +56,11 @@ def _col_mask(t, mt, m):
 
 
 def _nl_minmax_kernel(q_ref, k_ref, lo_ref, hi_ref, *, bn, mt, n, m):
+    # Mosaic-safe by construction: the loop carries are (bn, 1) lane
+    # reductions (no scalar f32 carries), and the cross-grid accumulator
+    # is an elementwise min/max on the resident (8, 128) block — the only
+    # rank reduction below (bn, 1) is one sublane reduce to (1, 1) per
+    # program, broadcast back to the block shape.
     bi = pl.program_id(0)
     qi = pl.program_id(1)
 
@@ -72,19 +77,31 @@ def _nl_minmax_kernel(q_ref, k_ref, lo_ref, hi_ref, *, bn, mt, n, m):
         lo, hi = carry
         e = _dot_f32(q, k_ref[0, pl.ds(t * mt, mt), :])
         ok = row_ok & _col_mask(t, mt, m)
-        lo = jnp.minimum(lo, jnp.min(jnp.where(ok, e, _POS)))
-        hi = jnp.maximum(hi, jnp.max(jnp.where(ok, e, _NEG)))
+        lo = jnp.minimum(
+            lo, jnp.min(jnp.where(ok, e, _POS), axis=1, keepdims=True))
+        hi = jnp.maximum(
+            hi, jnp.max(jnp.where(ok, e, _NEG), axis=1, keepdims=True))
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, k_ref.shape[1] // mt, tile,
-                               (jnp.float32(_POS), jnp.float32(_NEG)))
-    lo_ref[...] = jnp.minimum(lo_ref[...], lo)
-    hi_ref[...] = jnp.maximum(hi_ref[...], hi)
+    lo, hi = jax.lax.fori_loop(
+        0, k_ref.shape[1] // mt, tile,
+        (jnp.full((bn, 1), _POS, jnp.float32),
+         jnp.full((bn, 1), _NEG, jnp.float32)))
+    lo_ref[...] = jnp.minimum(
+        lo_ref[...],
+        jnp.broadcast_to(jnp.min(lo, axis=0, keepdims=True),
+                         lo_ref.shape))
+    hi_ref[...] = jnp.maximum(
+        hi_ref[...],
+        jnp.broadcast_to(jnp.max(hi, axis=0, keepdims=True),
+                         hi_ref.shape))
 
 
-def _nl_apply_kernel(s_ref, q_ref, k_ref, out_ref, *, bn, mt, m):
-    lo = s_ref[0]
-    inv = s_ref[1]
+def _nl_apply_kernel(lo_ref, inv_ref, q_ref, k_ref, out_ref, *, bn, mt, m):
+    # scale operands arrive as (8, 128) VMEM splat tiles (a (2,) SMEM f32
+    # operand is the riskier lowering); (1, 1) slices broadcast cleanly
+    lo = lo_ref[0:1, 0:1]
+    inv = inv_ref[0:1, 0:1]
     q = q_ref[0]
 
     def tile(t, carry):
@@ -148,18 +165,21 @@ def nl_spatial_flash(q, k, bn=512, mt=2048, interpret=False):
         compiler_params=params,
         interpret=interpret,
     )(q, k)
-    lo = lo[0, 0]
-    hi = hi[0, 0]
-    scale = jnp.stack([lo, 1.0 / (hi - lo)])
+    lo_s = lo[0, 0]
+    inv_s = 1.0 / (hi[0, 0] - lo_s)
+    lo_t = jnp.broadcast_to(lo_s, (8, 128))
+    inv_t = jnp.broadcast_to(inv_s, (8, 128))
 
+    scale_spec = pl.BlockSpec((8, 128), lambda bi, qi: (0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_nl_apply_kernel, bn=bn, mt=mt, m=m),
         out_shape=jax.ShapeDtypeStruct((b, nblk * bn, cpad), q.dtype),
         grid=(b, nblk),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), q_spec, k_spec],
+        in_specs=[scale_spec, scale_spec, q_spec, k_spec],
         out_specs=pl.BlockSpec((1, bn, cpad), lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=params,
         interpret=interpret,
-    )(scale, q, k)
+    )(lo_t, inv_t, q, k)
     return out[:, :n, :c]

@@ -53,16 +53,31 @@ def main():
               flush=True)
         return dt
 
-    d_flash = bench("flash ", lambda q, k: nl_spatial_flash(q, k))
+    # flash first but don't let a Mosaic rejection kill the probe — the
+    # blocked baseline number is still wanted
+    d_flash = None
+    try:
+        d_flash = bench("flash ", lambda q, k: nl_spatial_flash(q, k))
+    except Exception as e:
+        print(f"flash FAILED: {str(e).splitlines()[0][:200]}", flush=True)
+    # block-size sweep: bn trades grid overhead vs VMEM residency
+    for bn in (256, 1024):
+        try:
+            bench(f"flash bn={bn}",
+                  lambda q, k, bn=bn: nl_spatial_flash(q, k, bn=bn))
+        except Exception as e:
+            print(f"flash bn={bn} FAILED: {str(e).splitlines()[0][:160]}",
+                  flush=True)
     d_block = bench("blocked", lambda q, k: _nl_spatial_blocked(q, k))
-    print(f"speedup: {d_block / d_flash:.2f}x", flush=True)
+    if d_flash:
+        print(f"speedup: {d_block / d_flash:.2f}x", flush=True)
 
-    # compiled-path parity (same inputs, bf16 tolerance)
-    a = nl_spatial_flash(q, k).astype(jnp.float32)
-    b = _nl_spatial_blocked(q, k).astype(jnp.float32)
-    ref = float(jnp.abs(b).max())
-    print(f"compiled rel maxdiff: {float(jnp.abs(a - b).max()) / ref:.2e}",
-          flush=True)
+        # compiled-path parity (same inputs, bf16 tolerance)
+        a = nl_spatial_flash(q, k).astype(jnp.float32)
+        b = _nl_spatial_blocked(q, k).astype(jnp.float32)
+        ref = float(jnp.abs(b).max())
+        print("compiled rel maxdiff: "
+              f"{float(jnp.abs(a - b).max()) / ref:.2e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,17 @@ echo "=== $(date) headline deepfuse b16 with s2d packed chain"
 MMIF_S2D=1 timeout 1800 python bench.py
 echo "--- s2d bench exit: $?"
 
+echo "=== $(date) probe_s2d_io (packed enter/exit glue share)"
+timeout 1200 python tools/probe_s2d_io.py
+echo "--- probe_s2d_io exit: $?"
+
+echo "=== $(date) s2d with raised vmem budget (packed dec0 rows=16+ssa)"
+# default 55M budget drops the packed fuse_n dec0 (c128->c128 k5, ssa
+# temp 29.4M) to rows=8; 64M fits its rows=16 estimate (60.8M) and
+# 64M*1.6 Mosaic accounting stays under the 100M scoped-vmem limit.
+MMIF_S2D=1 MMIF_CHAIN_VMEM_BUDGET=$((64*1024*1024)) timeout 1800 python bench.py
+echo "--- s2d budget bench exit: $?"
+
 echo "=== $(date) config #4 with --fast_train (Pallas VJP at full res)"
 timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
   --data polar --data_root /tmp/polar_full --model unfusion \

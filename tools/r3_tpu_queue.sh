@@ -1,8 +1,12 @@
 #!/bin/bash
 # Round-3 TPU measurement queue: run serially once the relay is healthy.
 # Usage: bash tools/r3_tpu_queue.sh >> /tmp/r3q.log 2>&1
-# Ordered by judge value; each step timeout-bounded; failures don't stop
-# the queue (except the initial health check).
+# Ordered so the s2d default-flip decision data lands first (the driver
+# records BENCH_r03 with the DEFAULT env at round end — flipping the
+# DeepFuse default to the packed chain, if it wins, is the one action
+# only this session can take and it needs these numbers early in case
+# the relay window is short). Each step timeout-bounded; failures don't
+# stop the queue (except the initial health check).
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 
@@ -12,6 +16,24 @@ import jax, jax.numpy as jnp
 print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting queue'; exit 1; }
+
+echo "=== $(date) headline deepfuse b16 (current default, comparison base)"
+timeout 1800 python bench.py
+
+echo "=== $(date) headline deepfuse b16 with s2d packed chain"
+MMIF_S2D=1 timeout 1800 python bench.py
+echo "--- s2d bench exit: $?"
+
+echo "=== $(date) s2d with raised vmem budget (packed dec0 rows=16+ssa)"
+# default 55M budget drops the packed fuse_n dec0 (c128->c128 k5, ssa
+# temp 29.4M) to rows=8; 64M fits its rows=16 estimate (60.8M) and
+# 64M*1.6 Mosaic accounting stays under the 100M scoped-vmem limit.
+MMIF_S2D=1 MMIF_CHAIN_VMEM_BUDGET=$((64*1024*1024)) timeout 1800 python bench.py
+echo "--- s2d budget bench exit: $?"
+
+echo "=== $(date) probe_s2d_io (packed enter/exit glue share)"
+timeout 1200 python tools/probe_s2d_io.py
+echo "--- probe_s2d_io exit: $?"
 
 echo "=== $(date) config #4: unfusion full-res 1224x1024 polar training"
 timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
@@ -49,27 +71,9 @@ BENCH_MODEL=mafusion BENCH_BATCH=1 timeout 1800 python bench.py
 echo "=== $(date) bench mafusion b2"
 BENCH_MODEL=mafusion BENCH_BATCH=2 timeout 1800 python bench.py
 
-echo "=== $(date) headline deepfuse b16"
-timeout 1800 python bench.py
-
 echo "=== $(date) probe_s2d (space-to-depth packed conv rates)"
 timeout 3000 python tools/probe_s2d.py
 echo "--- probe_s2d exit: $?"
-
-echo "=== $(date) headline deepfuse b16 with s2d packed chain"
-MMIF_S2D=1 timeout 1800 python bench.py
-echo "--- s2d bench exit: $?"
-
-echo "=== $(date) probe_s2d_io (packed enter/exit glue share)"
-timeout 1200 python tools/probe_s2d_io.py
-echo "--- probe_s2d_io exit: $?"
-
-echo "=== $(date) s2d with raised vmem budget (packed dec0 rows=16+ssa)"
-# default 55M budget drops the packed fuse_n dec0 (c128->c128 k5, ssa
-# temp 29.4M) to rows=8; 64M fits its rows=16 estimate (60.8M) and
-# 64M*1.6 Mosaic accounting stays under the 100M scoped-vmem limit.
-MMIF_S2D=1 MMIF_CHAIN_VMEM_BUDGET=$((64*1024*1024)) timeout 1800 python bench.py
-echo "--- s2d budget bench exit: $?"
 
 echo "=== $(date) config #4 with --fast_train (Pallas VJP at full res)"
 timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \

@@ -87,3 +87,37 @@ def test_export_cli_from_checkpoint(tmp_path):
           "--height", "64", "--width", "64", "--out", out])
     sidecar = json.load(open(out + ".json"))
     assert sidecar["model"] == "densefuse"
+
+
+def test_export_sharded_serving():
+    """Multi-chip serving: export a batch-sharded fused forward over a
+    device mesh and roundtrip it — the deserialized artifact executes
+    under the same mesh with sharded inputs (serving-scale inference,
+    no analogue in the reference's single-GPU test.py)."""
+    from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multi_modal_image_fusion_tpu.parallel.mesh import make_mesh
+
+    model, variables = _init("densefuse")
+    mesh = make_mesh(jax.devices()[:8])
+    shard = NamedSharding(mesh, P("data"))
+
+    def fuse(img1, img2):
+        return model.apply(variables, img1, img2, train=False)
+
+    spec = jax.ShapeDtypeStruct((8, 32, 32, 1), jnp.float32, sharding=shard)
+    exported = jexport.export(
+        jax.jit(fuse, in_shardings=(shard, shard), out_shardings=shard))(
+            spec, spec)
+    fn = jexport.deserialize(exported.serialize())
+
+    r = np.random.RandomState(0)
+    x1 = jax.device_put(jnp.asarray(r.rand(8, 32, 32, 1), jnp.float32),
+                        shard)
+    x2 = jax.device_put(jnp.asarray(r.rand(8, 32, 32, 1), jnp.float32),
+                        shard)
+    got = fn.call(x1, x2)
+    want = fuse(x1, x2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=1e-6)

@@ -241,10 +241,21 @@ class DeepFuse(_FusionModel):
             use_s2d = (bool(os.environ.get("MMIF_S2D"))
                        and not use_pair and h % 2 == 0 and w % 2 == 0)
             if use_s2d:
+                from ..ops.pallas.s2d_io import (s2d_chain_enter,
+                                                 s2d_chain_exit, s2d_io_ok)
                 from ..ops.s2d import s2d_pack, s2d_unpack
 
-                t = chain_enter(
-                    s2d_pack(jnp.concatenate([img1, img2], axis=0), 2))
+                # packed enter/exit strip kernels (pack + guard placement
+                # in one bandwidth-bound pass each; row phases ride the
+                # DMA, lane phases via the u32 bit-pun — ops/pallas/
+                # s2d_io.py). Opt-in until TPU-measured.
+                use_io = (bool(os.environ.get("MMIF_S2D_IO"))
+                          and s2d_io_ok(h, w, img1.dtype))
+                pair = jnp.concatenate([img1, img2], axis=0)
+                if use_io:
+                    t = s2d_chain_enter(pair, interpret=interp)
+                else:
+                    t = chain_enter(s2d_pack(pair, 2))
                 hw = (h // 2, w // 2)
                 for layer in self.enc:
                     t = layer(t, train=False, chain_hw=hw, chain_s2d=2)
@@ -257,6 +268,8 @@ class DeepFuse(_FusionModel):
                                     chain_s2d=2)
                 for layer in self.dec[1:]:
                     t = layer(t, train=False, chain_hw=hw, chain_s2d=2)
+                if use_io:
+                    return s2d_chain_exit(t, h, w, interpret=interp)
                 return s2d_unpack(chain_exit(t, *hw), 2)
 
             t = chain_enter(jnp.concatenate([img1, img2], axis=0))

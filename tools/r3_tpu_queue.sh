@@ -35,6 +35,33 @@ echo "=== $(date) probe_s2d_io (packed enter/exit glue share)"
 timeout 1200 python tools/probe_s2d_io.py
 echo "--- probe_s2d_io exit: $?"
 
+echo "=== $(date) s2d_io kernels: TPU compile + parity smoke"
+timeout 1200 python -c "
+import numpy as np, jax, jax.numpy as jnp
+from multi_modal_image_fusion_tpu.ops.pallas.conv_kernel import (
+    CHAIN_GUARD, CHAIN_WG, chain_enter, chain_exit, chain_shape)
+from multi_modal_image_fusion_tpu.ops.pallas.s2d_io import (
+    s2d_chain_enter, s2d_chain_exit)
+from multi_modal_image_fusion_tpu.ops.s2d import s2d_pack
+r = np.random.RandomState(0)
+h, w = 40, 256
+x = jnp.asarray(r.rand(2, h, w, 1) - 0.5, jnp.bfloat16)
+got = s2d_chain_enter(x)
+want = chain_enter(s2d_pack(x, 2))
+h2, w2 = h // 2, w // 2
+sl = (slice(None), slice(None), slice(CHAIN_GUARD, CHAIN_GUARD + h2),
+      slice(CHAIN_WG, CHAIN_WG + w2))
+np.testing.assert_array_equal(np.asarray(got[sl]), np.asarray(want[sl]))
+back = s2d_chain_exit(got, h, w)
+np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+print('s2d_io TPU parity OK (incl. u32 bit-pun endianness)')
+"
+echo "--- s2d_io smoke exit: $?"
+
+echo "=== $(date) s2d with packed enter/exit kernels (MMIF_S2D_IO=1)"
+MMIF_S2D=1 MMIF_S2D_IO=1 timeout 1800 python bench.py
+echo "--- s2d_io bench exit: $?"
+
 echo "=== $(date) config #4: unfusion full-res 1224x1024 polar training"
 timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
   --data polar --data_root /tmp/polar_full --model unfusion \

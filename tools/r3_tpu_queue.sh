@@ -114,3 +114,5 @@ timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
   --ckpt_root /tmp/ckpts_cfg4_fast
 
 echo "=== $(date) queue done"
+python tools/summarize_queue.py docs/r3_queue_results.log \
+  > docs/r3_queue_summary.md 2>/dev/null || true

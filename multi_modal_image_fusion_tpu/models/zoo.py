@@ -238,7 +238,8 @@ class DeepFuse(_FusionModel):
             # kp/k less VPU staging/roll traffic per original pixel on
             # the VPU-bound kernel, at (kp*f/k)^2 more MXU dot FLOPs
             # (the MXU has ~3x headroom). Same math, f32-rounding equal.
-            use_s2d = (bool(os.environ.get("MMIF_S2D"))
+            from ..ops.s2d import s2d_enabled, s2d_io_enabled
+            use_s2d = (s2d_enabled()
                        and not use_pair and h % 2 == 0 and w % 2 == 0)
             if use_s2d:
                 from ..ops.pallas.s2d_io import (s2d_chain_enter,
@@ -249,7 +250,7 @@ class DeepFuse(_FusionModel):
                 # in one bandwidth-bound pass each; row phases ride the
                 # DMA, lane phases via the u32 bit-pun — ops/pallas/
                 # s2d_io.py). Opt-in until TPU-measured.
-                use_io = (bool(os.environ.get("MMIF_S2D_IO"))
+                use_io = (s2d_io_enabled()
                           and s2d_io_ok(h, w, img1.dtype))
                 pair = jnp.concatenate([img1, img2], axis=0)
                 if use_io:

@@ -376,8 +376,13 @@ class ConvLayer(nn.Module):
             big_out = c_out_run >= 128 and f == 1
             kwc = 1 if big_out else k_run
             epi = "acc" if big_out else "ssa"
-            budget = int(os.environ.get("MMIF_CHAIN_VMEM_BUDGET",
-                                        55 * 1024 * 1024))
+            # packed chains may default to a raised budget (packed dec0
+            # c128 k5 needs 60.8M for rows=16+ssa; constant set by the
+            # measured winner, see ops/s2d.py)
+            from .s2d import S2D_VMEM_BUDGET
+            budget = int(os.environ.get(
+                "MMIF_CHAIN_VMEM_BUDGET",
+                55 * 1024 * 1024 if f == 1 else S2D_VMEM_BUDGET))
             interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
 
             def _scratch_est(rows, c, fuse_n):

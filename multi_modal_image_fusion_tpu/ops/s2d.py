@@ -31,8 +31,35 @@ Reference conv contract being preserved: core/block.py:26-99
 """
 
 import math
+import os
 
 import jax.numpy as jnp
+
+# Defaults for the packed-chain toggles, resolved when the env vars are
+# unset (or "auto"): MMIF_S2D (packed DeepFuse chain), MMIF_S2D_IO
+# (packed enter/exit strip kernels), MMIF_CHAIN_VMEM_BUDGET while a
+# packed chain is active. tools/r3_autoflip.py rewrites these constants
+# from the queued TPU measurements, so a default-env `python bench.py`
+# runs the measured-fastest configuration.
+S2D_DEFAULT = False
+S2D_IO_DEFAULT = False
+S2D_VMEM_BUDGET = 55 * 1024 * 1024
+
+
+def s2d_enabled():
+    """MMIF_S2D: '1'/'0' force; unset/'auto' -> S2D_DEFAULT."""
+    v = os.environ.get("MMIF_S2D", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return S2D_DEFAULT
+
+
+def s2d_io_enabled():
+    """MMIF_S2D_IO: '1'/'0' force; unset/'auto' -> S2D_IO_DEFAULT."""
+    v = os.environ.get("MMIF_S2D_IO", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return S2D_IO_DEFAULT
 
 
 def s2d_span(k, f):

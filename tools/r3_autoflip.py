@@ -1,0 +1,123 @@
+"""Apply the s2d default flip from the queued TPU measurements.
+
+The round-3 measurement queue (tools/r3_tpu_queue.sh) benches the
+DeepFuse headline in four configurations: current default, packed s2d
+chain (MMIF_S2D=1), s2d with a raised chain-vmem budget, and s2d with
+the packed enter/exit strip kernels (MMIF_S2D_IO=1). The driver records
+BENCH_r03 by running `python bench.py` with a DEFAULT environment, so if
+a measured variant wins, the default constants in ops/s2d.py must flip
+before round end. This script makes that flip unattended: parse the
+queue log, pick the winner (>2% over base, to stay clear of run-to-run
+noise), rewrite the constants, re-run the CPU parity tests for the
+flipped path, and commit — reverting the edit if parity fails.
+
+Usage: python tools/r3_autoflip.py [logpath]   (default: the queue log)
+"""
+
+import json
+import re
+import subprocess
+import sys
+
+LOG = "docs/r3_queue_results.log"
+S2D = "multi_modal_image_fusion_tpu/ops/s2d.py"
+STEPS = {
+    "base": "headline deepfuse b16 (current default",
+    "s2d": "headline deepfuse b16 with s2d packed chain",
+    "budget": "s2d with raised vmem budget",
+    "io": "s2d with packed enter/exit kernels",
+}
+PARITY_TESTS = [
+    "tests/test_s2d.py",
+    "tests/test_s2d_io.py",
+    "tests/test_pallas.py::test_deepfuse_s2d_chain_parity",
+]
+
+
+def parse(path):
+    """First healthy bench value (pairs/s) per queue step, + io parity."""
+    vals = {}
+    cur = None
+    parity_ok = False
+    with open(path, errors="replace") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("==="):
+                cur = None
+                for key, marker in STEPS.items():
+                    if marker in line:
+                        cur = key
+                continue
+            if "s2d_io TPU parity OK" in line:
+                parity_ok = True
+            if cur and cur not in vals and line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue
+                if d.get("metric") and not d.get("error") \
+                        and isinstance(d.get("value"), (int, float)) \
+                        and d["value"] > 0:
+                    vals[cur] = float(d["value"])
+    return vals, parity_ok
+
+
+def edit(old, new):
+    with open(S2D) as f:
+        src = f.read()
+    if new in src:
+        return  # already applied (idempotent re-run)
+    assert src.count(old) == 1, f"cannot locate {old!r} in {S2D}"
+    with open(S2D, "w") as f:
+        f.write(src.replace(old, new))
+
+
+def main():
+    log = sys.argv[1] if len(sys.argv) > 1 else LOG
+    vals, parity_ok = parse(log)
+    print(f"autoflip: measured {vals}, io parity_ok={parity_ok}")
+    base = vals.get("base")
+    cands = {k: v for k, v in vals.items() if k != "base"}
+    if not parity_ok:
+        cands.pop("io", None)
+    if base is None or not cands:
+        print("autoflip: measurements incomplete, no action")
+        return 0
+    winner = max(cands, key=cands.get)
+    best = cands[winner]
+    if best <= base * 1.02:
+        print(f"autoflip: best s2d variant {winner}={best:.1f} <= "
+              f"base {base:.1f} * 1.02 — default stays off")
+        return 0
+
+    print(f"autoflip: {winner}={best:.1f} beats base {base:.1f}, flipping")
+    edit("S2D_DEFAULT = False", "S2D_DEFAULT = True")
+    if winner == "budget":
+        edit("S2D_VMEM_BUDGET = 55 * 1024 * 1024",
+             "S2D_VMEM_BUDGET = 64 * 1024 * 1024")
+    if winner == "io":
+        edit("S2D_IO_DEFAULT = False", "S2D_IO_DEFAULT = True")
+
+    # CPU parity gate before the new default can reach the driver's bench
+    r = subprocess.run([sys.executable, "-m", "pytest", "-q", "-x"]
+                       + PARITY_TESTS, timeout=3600)
+    if r.returncode != 0:
+        print("autoflip: parity tests FAILED, reverting")
+        subprocess.run(["git", "checkout", "--", S2D], check=True)
+        return 1
+
+    gain = 100.0 * (best / base - 1.0)
+    msg = (f"Default the packed s2d DeepFuse chain: "
+           f"{base:.1f} -> {best:.1f} pairs/s measured\n\n"
+           f"Winning queue variant: {winner} "
+           f"(all four configs in docs/r3_queue_results.log); "
+           f"+{gain:.1f}% over the unpacked chain at b16 1224x1024 bf16. "
+           f"CPU parity suite re-run green after the flip.")
+    subprocess.run(["git", "add", S2D], check=True)
+    r = subprocess.run(["git", "commit", "-m", msg])
+    print(f"autoflip: done (commit rc={r.returncode})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

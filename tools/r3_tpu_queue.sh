@@ -67,6 +67,10 @@ echo "=== $(date) s2d with packed enter/exit kernels (MMIF_S2D_IO=1)"
 MMIF_S2D=1 MMIF_S2D_IO=1 timeout 1800 python bench.py
 echo "--- s2d_io bench exit: $?"
 
+echo "=== $(date) autoflip: default the winning s2d variant (parity-gated)"
+timeout 3900 python tools/r3_autoflip.py
+echo "--- autoflip exit: $?"
+
 echo "=== $(date) config #4: unfusion full-res 1224x1024 polar training"
 timeout 3000 python -m multi_modal_image_fusion_tpu.cli.train \
   --data polar --data_root /tmp/polar_full --model unfusion \

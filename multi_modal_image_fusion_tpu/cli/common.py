@@ -97,6 +97,14 @@ def get_train_parser():
                "spans hosts, with XLA routing collectives over ICI/DCN; "
                "replaces the reference's single-node NCCL limitation, "
                "common.py:96-102)")
+    p.add_argument("--spatial", default=0, type=int,
+                   help="height-shard each image over N devices for the "
+                        "train step instead of sharding the batch "
+                        "(parallel/spatial.py): full-resolution training "
+                        "without the reference's 256-crop (train.py:"
+                        "192-201) when one image's activations exceed a "
+                        "chip — pair with --no-use_patches --no-fix_size. "
+                        "Norm-free stride-1 models only; 0/1 = off")
     p.add_argument("--model_cfg", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="model constructor overrides, repeatable — e.g. "
@@ -146,6 +154,13 @@ def get_test_parser():
                "Pallas kernel (fast_inference mode; ~6x the XLA conv "
                "rate on TPU, no-op elsewhere) — on by default, disable "
                "with --no-fast")
+    p.add_argument("--spatial", default=0, type=int,
+                   help="shard each image's HEIGHT over N devices for "
+                        "the fused forward (parallel/spatial.py: one "
+                        "ppermute halo exchange, exact parity with the "
+                        "single-device result). For single-pair latency "
+                        "or beyond-HBM resolutions; stride-1 local-"
+                        "fusion models only. 0/1 = off")
     return p
 
 

@@ -9,6 +9,7 @@ Usage: python -m multi_modal_image_fusion_tpu.cli.test --data roadscene \
            --ckpt <timestamp-dir>
 """
 
+import math
 import os
 import time
 
@@ -26,10 +27,24 @@ from .common import dataset_layout, get_test_parser, resolve_data_dir, \
     save_result
 
 
-def make_infer_fn(model, variables):
-    @jax.jit
-    def fuse(img1, img2):
-        return model.apply(variables, img1, img2, train=False)
+def make_infer_fn(model, variables, spatial=0):
+    if spatial and spatial > 1:
+        # height-sharded fused forward: one pair across `spatial` chips
+        # (parallel/spatial.py — exact parity with the single-device
+        # forward; latency axis the reference's batch-DP cannot touch)
+        from ..parallel.mesh import make_mesh
+        from ..parallel.spatial import spatial_forward
+
+        mesh = make_mesh(jax.devices()[:spatial])
+
+        @jax.jit
+        def fuse(img1, img2):
+            return spatial_forward(model, variables, img1, img2,
+                                   mesh=mesh)
+    else:
+        @jax.jit
+        def fuse(img1, img2):
+            return model.apply(variables, img1, img2, train=False)
 
     @jax.jit
     def ssim_of(img1, img2, imgf):
@@ -41,12 +56,15 @@ def make_infer_fn(model, variables):
 
 
 def test_model(model, variables, dataset, save_dir=None, log_file=None,
-               pad_bucket=0, fast=False):
+               pad_bucket=0, fast=False, spatial=0):
     from ..ops.layers import fast_inference
 
     timer = AverageMeter()
     ssim_meter = AverageMeter()
-    fuse, ssim_of = make_infer_fn(model, variables)
+    fuse, ssim_of = make_infer_fn(model, variables, spatial=spatial)
+    # height must split evenly over the spatial mesh; fold that into the
+    # pad-and-crop bucket machinery (reflect pad, crop after)
+    h_mult = spatial if spatial and spatial > 1 else 1
 
     for i in range(len(dataset)):
         img1, img2 = dataset[i]
@@ -54,9 +72,10 @@ def test_model(model, variables, dataset, save_dir=None, log_file=None,
         x2 = jnp.asarray(img2)[None, ..., None]
         h, w = x1.shape[1:3]
         xp1, xp2 = x1, x2
-        if pad_bucket:
-            ph = -h % pad_bucket
-            pw = -w % pad_bucket
+        if pad_bucket or h_mult > 1:
+            bh = math.lcm(pad_bucket or 1, h_mult)
+            ph = -h % bh
+            pw = -w % pad_bucket if pad_bucket else 0
             cfg = ((0, 0), (0, ph), (0, pw), (0, 0))
             xp1 = jnp.pad(x1, cfg, mode="reflect")
             xp2 = jnp.pad(x2, cfg, mode="reflect")
@@ -66,7 +85,7 @@ def test_model(model, variables, dataset, save_dir=None, log_file=None,
             imgf = fuse(xp1, xp2)
         jax.block_until_ready(imgf)
         elapsed = time.time() - start
-        if pad_bucket:
+        if imgf.shape[1] != h or imgf.shape[2] != w:
             imgf = imgf[:, :h, :w]
         ssim = ssim_of(x1, x2, imgf)
         if i > 0:                     # first iter = compile warmup
@@ -133,10 +152,17 @@ def main(argv=None):
     if pad_bucket < 0:   # auto: bucket on TPU (per-shape compiles are
         # 60-100s remote compiles there), exact elsewhere
         pad_bucket = 128 if jax.default_backend() == "tpu" else 0
+    if args.spatial and args.spatial > 1:
+        from ..parallel.spatial import check_spatial_eligible
+        check_spatial_eligible(model_name,
+                               getattr(model, "fusion_mode", None))
+        assert len(jax.devices()) >= args.spatial, (
+            f"--spatial {args.spatial} needs that many devices, have "
+            f"{len(jax.devices())}")
     try:
         ssim, avg_time = test_model(model, variables, dataset, save_dir,
                                     log_file, pad_bucket=pad_bucket,
-                                    fast=args.fast)
+                                    fast=args.fast, spatial=args.spatial)
         line = (f"ssim: {ssim:.4f}, time: {avg_time * 1000:.3f}ms, "
                 f"fps: {1.0 / avg_time:.3f}")
         print(line)

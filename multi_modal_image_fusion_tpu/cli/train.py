@@ -148,7 +148,15 @@ def main(argv=None):
     logger = Logger(os.path.join(ckpt_dir, "train.log")).init_logger()
     writer = ScalarWriter(ckpt_dir)
 
-    mesh = make_mesh()
+    if args.spatial and args.spatial > 1:
+        # height sharding spans the mesh, so the mesh is exactly the
+        # requested N devices
+        assert len(jax.devices()) >= args.spatial, (
+            f"--spatial {args.spatial} needs that many devices, have "
+            f"{len(jax.devices())}")
+        mesh = make_mesh(jax.devices()[:args.spatial])
+    else:
+        mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
     logger.info(f"devices: {n_dev} x {jax.devices()[0].platform}")
     logger.info(f"model: {args.model}")
@@ -211,7 +219,8 @@ def main(argv=None):
 
     trainer = Trainer(model, schedule, bundle,
                       clip_grad=5.0 if args.clip_grad else None, mesh=mesh,
-                      ae=args.ae, fast=args.fast_train)
+                      ae=args.ae, fast=args.fast_train,
+                      spatial=args.spatial)
 
     sample = next(iter(valid_feeder))[0]
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)

@@ -63,9 +63,22 @@ class Trainer:
     """
 
     def __init__(self, model, lr_schedule, loss_bundle=None, clip_grad=5.0,
-                 betas=(0.9, 0.999), mesh=None, ae=False, fast=False):
+                 betas=(0.9, 0.999), mesh=None, ae=False, fast=False,
+                 spatial=0):
         self.model = model
         self.ae = ae
+        # spatial>1: height-shard each image over the mesh instead of
+        # sharding the batch — full-resolution training without the
+        # reference's 256-crop escape hatch (train.py:192-201), exact
+        # for norm-free stride-1 models (parallel/spatial.py). The loss
+        # runs on the logically-global arrays, so the SSIM/grad window
+        # convs are partitioned (with their own halo comms) by GSPMD.
+        self.spatial = int(spatial or 0)
+        if self.spatial > 1:
+            from ..parallel.spatial import check_spatial_eligible
+            assert not ae, "spatial sharding needs an image pair"
+            check_spatial_eligible(type(model).__name__,
+                                   getattr(model, "fusion_mode", None))
         # fast=True routes eligible convs through the differentiable Pallas
         # kernel (ops/pallas/conv_vjp) — the scope must be active when the
         # step is TRACED, so the step wrappers re-enter it on every call
@@ -105,6 +118,16 @@ class Trainer:
         return replicate(state, self.mesh)
 
     def shard(self, batch):
+        if self.spatial > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import place_sharded
+            h_shard = NamedSharding(self.mesh, P(None, "data"))
+            repl = NamedSharding(self.mesh, P())
+            return jax.tree.map(
+                lambda x: place_sharded(
+                    x, h_shard if getattr(x, "ndim", 0) == 4 else repl),
+                batch)
         return shard_batch(batch, self.mesh)
 
     def _unpack(self, batch):
@@ -119,6 +142,11 @@ class Trainer:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        if self.spatial > 1:
+            from ..parallel.spatial import spatial_forward
+            out = spatial_forward(self.model, variables, img1, img2,
+                                  mesh=self.mesh, train=train)
+            return out, batch_stats
         if train and batch_stats:
             out, mut = self.model.apply(variables, img1, img2, train=True,
                                         mutable=["batch_stats"])

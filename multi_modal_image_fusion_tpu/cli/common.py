@@ -157,10 +157,13 @@ def get_test_parser():
     p.add_argument("--spatial", default=0, type=int,
                    help="shard each image's HEIGHT over N devices for "
                         "the fused forward (parallel/spatial.py: one "
-                        "ppermute halo exchange, exact parity with the "
-                        "single-device result). For single-pair latency "
-                        "or beyond-HBM resolutions; stride-1 local-"
-                        "fusion models only. 0/1 = off")
+                        "ppermute halo exchange; exact parity with the "
+                        "single-device result at N-divisible heights — "
+                        "indivisible heights are reflect-padded to a "
+                        "multiple, a pad_bucket-class seam deviation, "
+                        "noted at runtime). For single-pair latency or "
+                        "beyond-HBM resolutions; stride-1 local-fusion "
+                        "models only. 0/1 = off")
     return p
 
 

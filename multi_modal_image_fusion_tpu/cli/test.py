@@ -76,6 +76,15 @@ def test_model(model, variables, dataset, save_dir=None, log_file=None,
             bh = math.lcm(pad_bucket or 1, h_mult)
             ph = -h % bh
             pw = -w % pad_bucket if pad_bucket else 0
+            if ph and not pad_bucket and i == 0:
+                # sharded parity is exact only at divisible heights;
+                # an indivisible H takes the pad_bucket-class seam
+                # deviation (<1e-3 SSIM) — say so rather than silently
+                # weakening the --spatial exactness contract
+                print(f"note: H={h} not divisible by --spatial "
+                      f"{h_mult}; reflect-padding to {h + ph} (output "
+                      f"deviates within the receptive field of the pad "
+                      f"seam, as with --pad_bucket)")
             cfg = ((0, 0), (0, ph), (0, pw), (0, 0))
             xp1 = jnp.pad(x1, cfg, mode="reflect")
             xp2 = jnp.pad(x2, cfg, mode="reflect")
@@ -156,9 +165,10 @@ def main(argv=None):
         from ..parallel.spatial import check_spatial_eligible
         check_spatial_eligible(model_name,
                                getattr(model, "fusion_mode", None))
-        assert len(jax.devices()) >= args.spatial, (
-            f"--spatial {args.spatial} needs that many devices, have "
-            f"{len(jax.devices())}")
+        if len(jax.devices()) < args.spatial:
+            raise ValueError(
+                f"--spatial {args.spatial} needs that many devices, "
+                f"have {len(jax.devices())}")
     try:
         ssim, avg_time = test_model(model, variables, dataset, save_dir,
                                     log_file, pad_bucket=pad_bucket,

@@ -151,9 +151,10 @@ def main(argv=None):
     if args.spatial and args.spatial > 1:
         # height sharding spans the mesh, so the mesh is exactly the
         # requested N devices
-        assert len(jax.devices()) >= args.spatial, (
-            f"--spatial {args.spatial} needs that many devices, have "
-            f"{len(jax.devices())}")
+        if len(jax.devices()) < args.spatial:
+            raise ValueError(
+                f"--spatial {args.spatial} needs that many devices, "
+                f"have {len(jax.devices())}")
         mesh = make_mesh(jax.devices()[:args.spatial])
     else:
         mesh = make_mesh()
@@ -191,7 +192,14 @@ def main(argv=None):
                                   set_type="valid", img_type=img_type,
                                   fix_size=args.fix_size, rng=rng)
 
-    sharding = batch_sharding(mesh)
+    if args.spatial and args.spatial > 1:
+        # feeders place images height-sharded (the batch axis stays
+        # whole — no wrap-padding to a device multiple); masks and other
+        # low-rank leaves replicate (Feeder._leaf_sharding)
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
+    else:
+        sharding = batch_sharding(mesh)
     train_feeder = Feeder(train_set, args.bs, shuffle=True, drop_last=True,
                           sharding=sharding, seed=args.seed,
                           workers=args.workers)

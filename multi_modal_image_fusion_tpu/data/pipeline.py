@@ -78,6 +78,33 @@ class Feeder:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _batch_shard_count(self):
+        """Devices sharding the BATCH axis (spec[0]); wrap-padding to a
+        device multiple only applies when the batch axis is actually
+        sharded — under height sharding (P(None, 'data'), parallel/
+        spatial.py) any batch size is placeable as-is."""
+        sh = self.sharding
+        spec = getattr(sh, "spec", None)
+        if not spec or spec[0] is None:
+            return 1
+        ax = spec[0]
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        n = 1
+        for a in axes:
+            n *= int(sh.mesh.shape[a])
+        return n
+
+    def _leaf_sharding(self, x):
+        """Per-leaf placement: leaves with fewer dims than the spec
+        (e.g. a (N,) mask under the height-sharded P(None, 'data') image
+        spec) replicate instead of erroring."""
+        sh = self.sharding
+        spec = getattr(sh, "spec", None)
+        if spec is None or getattr(x, "ndim", len(spec)) >= len(spec):
+            return sh
+        from jax.sharding import NamedSharding, PartitionSpec
+        return NamedSharding(sh.mesh, PartitionSpec())
+
     def _batches(self):
         n = len(self.dataset)
         idx = np.arange(n)
@@ -85,9 +112,7 @@ class Feeder:
             self._rng.shuffle(idx)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last \
             else n
-        ndev = 1
-        if self.sharding is not None and hasattr(self.sharding, "mesh"):
-            ndev = int(self.sharding.mesh.size)
+        ndev = self._batch_shard_count()
         for i in range(0, stop, self.batch_size):
             take = idx[i:i + self.batch_size]
             n_true = len(take)
@@ -118,7 +143,8 @@ class Feeder:
             if self.sharding is not None:
                 from ..parallel.mesh import place_sharded
                 return jax.tree.map(
-                    lambda x: place_sharded(x, self.sharding), batch)
+                    lambda x: place_sharded(x, self._leaf_sharding(x)),
+                    batch)
             return jax.tree.map(jax.device_put, batch)
 
         def produce():

@@ -76,7 +76,9 @@ class Trainer:
         self.spatial = int(spatial or 0)
         if self.spatial > 1:
             from ..parallel.spatial import check_spatial_eligible
-            assert not ae, "spatial sharding needs an image pair"
+            if ae:
+                raise ValueError("spatial sharding needs an image pair "
+                                 "(AE mode has no img2)")
             check_spatial_eligible(type(model).__name__,
                                    getattr(model, "fusion_mode", None))
         # fast=True routes eligible convs through the differentiable Pallas

@@ -60,6 +60,20 @@ def test_parse_skips_error_and_junk_lines(tmp_path):
     assert not parity_ok
 
 
+def test_parse_uses_only_the_last_queue_run(tmp_path):
+    """The queue log appends across re-runs; a stale base from a
+    degraded earlier run must not pair with a fresh s2d number."""
+    run1 = LOG.format(parity="", base=80.0, s2d=0, budget=0, io=0)
+    run2 = LOG.format(parity="s2d_io TPU parity OK",
+                      base=101.5, s2d=103.0, budget=102.0, io=102.5)
+    p = tmp_path / "q.log"
+    p.write_text(run1 + run2)
+    vals, parity_ok = autoflip.parse(str(p))
+    assert vals["base"] == 101.5      # run 2's base, not run 1's 80.0
+    assert parity_ok
+    assert autoflip.decide(vals, parity_ok) is None   # below 2% margin
+
+
 def test_decide_picks_best_variant_over_margin():
     vals = {"base": 100.0, "s2d": 110.0, "budget": 115.0, "io": 112.0}
     assert autoflip.decide(vals, parity_ok=True) == "budget"

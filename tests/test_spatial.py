@@ -135,7 +135,7 @@ def test_spatial_trainer_rejects_bn_models_and_ae():
     mesh = make_mesh(jax.devices()[:4])
     with pytest.raises(ValueError, match="height-sharded"):
         Trainer(create_model("nestfuse"), schedule, mesh=mesh, spatial=4)
-    with pytest.raises(AssertionError, match="image pair"):
+    with pytest.raises(ValueError, match="image pair"):
         Trainer(create_model("densefuse"), schedule, mesh=mesh,
                 spatial=4, ae=True)
     # BN-bearing model passes the name gate but train-time stats are
@@ -146,6 +146,36 @@ def test_spatial_trainer_rejects_bn_models_and_ae():
     state = t.init_state(jax.random.PRNGKey(0), batch)
     with pytest.raises(ValueError, match="norm-free"):
         t.train_step(state, batch)
+
+
+def test_feeder_height_sharded_placement():
+    """With a P(None, 'data') image sharding the Feeder must (a) NOT
+    wrap-pad the batch to a device multiple (the batch axis is whole),
+    (b) place 4-D leaves height-sharded, and (c) replicate the 1-D
+    mask (cli/train.py --spatial feed path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multi_modal_image_fusion_tpu.data.pipeline import Feeder
+
+    class _Set:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            return (r.rand(64, 32).astype("float32"),
+                    r.rand(64, 32).astype("float32"))
+
+    mesh = make_mesh(jax.devices()[:4])
+    sh = NamedSharding(mesh, P(None, "data"))
+    feeder = Feeder(_Set(), batch_size=2, sharding=sh, with_mask=True)
+    batches = list(feeder)
+    assert len(batches) == 2
+    (b1, _), mask, n_true = batches[-1]     # final partial batch
+    assert b1.shape[0] == 1 and n_true == 1   # no wrap-pad duplication
+    assert mask.shape == (1,)
+    assert b1.sharding.spec == P(None, "data")
+    assert mask.sharding.spec == P()        # replicated, not row-sharded
 
 
 def test_rejects_indivisible_height_and_thin_shards():

@@ -35,30 +35,40 @@ PARITY_TESTS = [
 
 
 def parse(path):
-    """First healthy bench value (pairs/s) per queue step, + io parity."""
+    """First healthy bench value (pairs/s) per queue step, + io parity.
+
+    The queue log is appended (`tee -a`) across re-runs, so only the
+    LAST run — everything after the final "health check" step header —
+    is parsed: mixing a stale base from a degraded earlier run with a
+    fresh s2d number would make an apples-to-oranges flip decision."""
+    with open(path, errors="replace") as f:
+        lines = f.read().splitlines()
+    start = 0
+    for i, line in enumerate(lines):
+        if line.startswith("===") and "health check" in line:
+            start = i
     vals = {}
     cur = None
     parity_ok = False
-    with open(path, errors="replace") as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("==="):
-                cur = None
-                for key, marker in STEPS.items():
-                    if marker in line:
-                        cur = key
+    for line in lines[start:]:
+        line = line.strip()
+        if line.startswith("==="):
+            cur = None
+            for key, marker in STEPS.items():
+                if marker in line:
+                    cur = key
+            continue
+        if "s2d_io TPU parity OK" in line:
+            parity_ok = True
+        if cur and cur not in vals and line.startswith("{"):
+            try:
+                d = json.loads(line)
+            except ValueError:
                 continue
-            if "s2d_io TPU parity OK" in line:
-                parity_ok = True
-            if cur and cur not in vals and line.startswith("{"):
-                try:
-                    d = json.loads(line)
-                except ValueError:
-                    continue
-                if d.get("metric") and not d.get("error") \
-                        and isinstance(d.get("value"), (int, float)) \
-                        and d["value"] > 0:
-                    vals[cur] = float(d["value"])
+            if d.get("metric") and not d.get("error") \
+                    and isinstance(d.get("value"), (int, float)) \
+                    and d["value"] > 0:
+                vals[cur] = float(d["value"])
     return vals, parity_ok
 
 
@@ -109,10 +119,21 @@ def main():
     if winner == "io":
         edit("S2D_IO_DEFAULT = False", "S2D_IO_DEFAULT = True")
 
-    # CPU parity gate before the new default can reach the driver's bench
-    r = subprocess.run([sys.executable, "-m", "pytest", "-q", "-x"]
-                       + PARITY_TESTS, timeout=3600)
-    if r.returncode != 0:
+    # CPU parity gate before the new default can reach the driver's
+    # bench. ANY failure mode — nonzero exit, pytest hang past the inner
+    # timeout, or an unexpected exception — must revert the edit: the
+    # queue is unattended and the driver commits stray files, so a
+    # flipped-but-unverified default would otherwise ship. (The queue's
+    # outer timeout is longer than the inner one so this revert path,
+    # not a SIGTERM, fires first.)
+    try:
+        r = subprocess.run([sys.executable, "-m", "pytest", "-q", "-x"]
+                           + PARITY_TESTS, timeout=3300)
+        failed = r.returncode != 0
+    except Exception as e:
+        print(f"autoflip: parity run did not complete ({e!r})")
+        failed = True
+    if failed:
         print("autoflip: parity tests FAILED, reverting")
         subprocess.run(["git", "checkout", "--", S2D], check=True)
         return 1

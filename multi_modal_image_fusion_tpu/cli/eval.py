@@ -28,13 +28,36 @@ METRIC_LABELS = ["SD", "AG", "SF", "MSE", "PSNR", "CC", "SCD", "EN", "CE",
                  "MI", "Qabf", "Nabf", "Labf", "SSIM", "MSSSIM", "VIFF"]
 
 
-def eval_method(img1_dir, img2_dir, imgf_dir):
+def eval_method(img1_dir, img2_dir, imgf_dir, spatial=0):
     """Evaluate one method's dumped results; returns (names, rows) where
     rows[i] is the 16-metric dict for image i.
 
     Images are grouped by shape and evaluated as one vmapped device call
     per group (per-image reductions fall out of vmap automatically) — the
-    reference loops per image per metric on host (eval.py:181-231)."""
+    reference loops per image per metric on host (eval.py:181-231).
+
+    spatial>1 places the stacks height-sharded and lets GSPMD partition
+    the whole 16-metric bundle (windowed convs get compiler-inserted
+    halo exchanges; histogram/moment reductions become psums) — exact by
+    construction, for when one full-res bundle exceeds a chip or to
+    spread a large eval across the mesh. device_put needs even splits,
+    so each shape group uses the largest device count <= spatial that
+    divides its height (1 = unsharded fallback, noted)."""
+    def make_place(h):
+        if not spatial or spatial <= 1:
+            return lambda x: x
+        n = max(d for d in range(1, spatial + 1) if h % d == 0)
+        if n == 1:
+            print(f"note: H={h} has no divisor <= {spatial}; "
+                  f"evaluating this shape group unsharded")
+            return lambda x: x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:n])
+        sh = NamedSharding(mesh, P(None, None, "data"))
+        return lambda x: jax.device_put(x, sh)
+
     jit_eval_batch = jax.jit(jax.vmap(eval_metrics))
     # same pairing filter as FusionDataset._list_pairs: only images whose
     # partner exists are enumerated, so the NN.bmp indices dumped by
@@ -60,7 +83,9 @@ def eval_method(img1_dir, img2_dir, imgf_dir):
     for shape, items in groups.items():
         stack = lambda idx: jnp.asarray(
             np.stack([it[idx] for it in items]))[:, None, ..., None]
-        out = jit_eval_batch(stack(2), stack(3), stack(4))
+        place = make_place(shape[0])
+        out = jit_eval_batch(place(stack(2)), place(stack(3)),
+                             place(stack(4)))
         out = {k: np.asarray(v) for k, v in out.items()}
         for j, (i, img, *_rest) in enumerate(items):
             results[i] = (img, {k: float(v[j]) for k, v in out.items()})
@@ -137,7 +162,8 @@ def main(argv=None):
     for mi, method in enumerate(methods):
         print(f"evaluating {method} ...")
         start = time.time()
-        names, rows = eval_method(img1_dir, img2_dir, imgf_dir)
+        names, rows = eval_method(img1_dir, img2_dir, imgf_dir,
+                                  spatial=args.spatial)
         print(f"evaluating {method} done, cost {time.time() - start:.3f}s")
         book = write_workbook(save_path, method, names, rows, args.sheet,
                               book, mi)

@@ -178,6 +178,28 @@ def test_feeder_height_sharded_placement():
     assert mask.sharding.spec == P()        # replicated, not row-sharded
 
 
+def test_eval_bundle_height_sharded_parity():
+    """The 16-metric bundle with height-sharded inputs (cli.eval
+    --spatial) must match the unsharded result — GSPMD partitioning is
+    semantics-preserving, including at an H indivisible by the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multi_modal_image_fusion_tpu.ops.metrics import eval_metrics
+
+    r = np.random.RandomState(0)
+    imgs = [jnp.asarray(r.rand(2, 1, 64, 48, 1) * 255, jnp.float32)
+            for _ in range(3)]
+    fn = jax.jit(jax.vmap(eval_metrics))
+    want = fn(*imgs)
+    mesh = make_mesh(jax.devices()[:4])
+    sh = NamedSharding(mesh, P(None, None, "data"))
+    got = fn(*[jax.device_put(x, sh) for x in imgs])
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_rejects_indivisible_height_and_thin_shards():
     img1, img2 = _pair(100, 48)  # 100 % 8 != 0
     model, variables = _init("deepfuse", img1, img2)

@@ -46,7 +46,8 @@ def eval_method(img1_dir, img2_dir, imgf_dir, spatial=0):
     def make_place(h):
         if not spatial or spatial <= 1:
             return lambda x: x
-        n = max(d for d in range(1, spatial + 1) if h % d == 0)
+        limit = min(spatial, len(jax.devices()))
+        n = max(d for d in range(1, limit + 1) if h % d == 0)
         if n == 1:
             print(f"note: H={h} has no divisor <= {spatial}; "
                   f"evaluating this shape group unsharded")
@@ -159,11 +160,18 @@ def main(argv=None):
                              f"metrics_{args.data}_{methods[0]}.xlsx")
 
     book = Workbook()
+    done = {}     # resolved imgf dir -> (names, rows): identical dirs
+    # evaluate once (the reference re-evaluates the same dir per method
+    # name — its per-method dir line is commented out, eval.py:171)
     for mi, method in enumerate(methods):
-        print(f"evaluating {method} ...")
+        method_dir = os.path.join(imgf_dir, method)
+        resolved = method_dir if os.path.isdir(method_dir) else imgf_dir
+        print(f"evaluating {method} ({resolved}) ...")
         start = time.time()
-        names, rows = eval_method(img1_dir, img2_dir, imgf_dir,
-                                  spatial=args.spatial)
+        if resolved not in done:
+            done[resolved] = eval_method(img1_dir, img2_dir, resolved,
+                                         spatial=args.spatial)
+        names, rows = done[resolved]
         print(f"evaluating {method} done, cost {time.time() - start:.3f}s")
         book = write_workbook(save_path, method, names, rows, args.sheet,
                               book, mi)

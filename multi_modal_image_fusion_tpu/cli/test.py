@@ -65,6 +65,7 @@ def test_model(model, variables, dataset, save_dir=None, log_file=None,
     # height must split evenly over the spatial mesh; fold that into the
     # pad-and-crop bucket machinery (reflect pad, crop after)
     h_mult = spatial if spatial and spatial > 1 else 1
+    noted_heights = set()
 
     for i in range(len(dataset)):
         img1, img2 = dataset[i]
@@ -76,7 +77,8 @@ def test_model(model, variables, dataset, save_dir=None, log_file=None,
             bh = math.lcm(pad_bucket or 1, h_mult)
             ph = -h % bh
             pw = -w % pad_bucket if pad_bucket else 0
-            if ph and not pad_bucket and i == 0:
+            if ph and not pad_bucket and h not in noted_heights:
+                noted_heights.add(h)
                 # sharded parity is exact only at divisible heights;
                 # an indivisible H takes the pad_bucket-class seam
                 # deviation (<1e-3 SSIM) — say so rather than silently

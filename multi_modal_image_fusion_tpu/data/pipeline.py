@@ -97,13 +97,31 @@ class Feeder:
     def _leaf_sharding(self, x):
         """Per-leaf placement: leaves with fewer dims than the spec
         (e.g. a (N,) mask under the height-sharded P(None, 'data') image
-        spec) replicate instead of erroring."""
+        spec) replicate instead of erroring. Sharded dims are checked
+        for divisibility up front — device_put's own error surfaces from
+        the producer thread long after startup with no hint."""
         sh = self.sharding
         spec = getattr(sh, "spec", None)
-        if spec is None or getattr(x, "ndim", len(spec)) >= len(spec):
+        if spec is None:
             return sh
-        from jax.sharding import NamedSharding, PartitionSpec
-        return NamedSharding(sh.mesh, PartitionSpec())
+        if getattr(x, "ndim", len(spec)) < len(spec):
+            from jax.sharding import NamedSharding, PartitionSpec
+            return NamedSharding(sh.mesh, PartitionSpec())
+        for dim, ax in enumerate(spec):
+            if ax is None:
+                continue
+            axes = ax if isinstance(ax, tuple) else (ax,)
+            n = 1
+            for a in axes:
+                n *= int(sh.mesh.shape[a])
+            if x.shape[dim] % n:
+                raise ValueError(
+                    f"batch dim {dim} (size {x.shape[dim]}) is not "
+                    f"divisible by the {n}-device mesh axis {ax!r}; "
+                    f"for height-sharded training (--spatial) pick N "
+                    f"dividing the image height, or use --fix_size / "
+                    f"--use_patches for a divisible static size")
+        return sh
 
     def _batches(self):
         n = len(self.dataset)

@@ -177,6 +177,18 @@ def test_feeder_height_sharded_placement():
     assert b1.sharding.spec == P(None, "data")
     assert mask.sharding.spec == P()        # replicated, not row-sharded
 
+    class _OddSet(_Set):
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            return (r.rand(67, 32).astype("float32"),
+                    r.rand(67, 32).astype("float32"))
+
+    # indivisible height fails up front with a pointed message, not an
+    # opaque device_put error from the producer thread
+    bad = Feeder(_OddSet(), batch_size=2, sharding=sh)
+    with pytest.raises(ValueError, match="dividing the image height"):
+        list(bad)
+
 
 def test_eval_bundle_height_sharded_parity():
     """The 16-metric bundle with height-sharded inputs (cli.eval

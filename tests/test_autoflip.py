@@ -96,6 +96,79 @@ def test_decide_incomplete_measurements():
     assert autoflip.decide({"s2d": 120.0}, parity_ok=True) is None
 
 
+def _scratch_repo(tmp_path, parity="s2d_io TPU parity OK", **vals):
+    """Minimal git repo mirroring the bits main() touches."""
+    import subprocess
+    pkg = tmp_path / "multi_modal_image_fusion_tpu" / "ops"
+    pkg.mkdir(parents=True)
+    (pkg / "s2d.py").write_text(
+        "S2D_DEFAULT = False\n"
+        "S2D_IO_DEFAULT = False\n"
+        "S2D_VMEM_BUDGET = 55 * 1024 * 1024\n")
+    ok_test = tmp_path / "parity_ok.py"
+    ok_test.write_text("def test_ok():\n    assert True\n")
+    bad_test = tmp_path / "parity_bad.py"
+    bad_test.write_text("def test_bad():\n    assert False\n")
+    for cmd in (["git", "init", "-q"], ["git", "add", "-A"],
+                ["git", "-c", "user.name=t", "-c", "user.email=t@t",
+                 "commit", "-qm", "init"]):
+        subprocess.run(cmd, cwd=tmp_path, check=True)
+    logp = tmp_path / "q.log"
+    logp.write_text(LOG.format(parity=parity, **vals))
+    return str(logp), str(ok_test), str(bad_test)
+
+
+def test_main_flips_commits_on_win(tmp_path, monkeypatch):
+    """End-to-end: a winning budget variant rewrites both constants,
+    passes the parity gate, and commits — the exact unattended path the
+    queue runs."""
+    import subprocess
+    log, ok_test, _ = _scratch_repo(tmp_path, base=101.5, s2d=118.2,
+                                    budget=124.9, io=120.0)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(autoflip, "PARITY_TESTS", [ok_test])
+    monkeypatch.setenv("GIT_AUTHOR_NAME", "t")
+    monkeypatch.setenv("GIT_AUTHOR_EMAIL", "t@t")
+    monkeypatch.setenv("GIT_COMMITTER_NAME", "t")
+    monkeypatch.setenv("GIT_COMMITTER_EMAIL", "t@t")
+    assert _run_main(log) == 0
+    src = (tmp_path / "multi_modal_image_fusion_tpu/ops/s2d.py").read_text()
+    assert "S2D_DEFAULT = True" in src
+    assert "S2D_VMEM_BUDGET = 64 * 1024 * 1024" in src
+    assert "S2D_IO_DEFAULT = False" in src      # io did not win
+    head = subprocess.run(["git", "log", "--oneline", "-1"],
+                          cwd=tmp_path, capture_output=True, text=True)
+    assert "packed s2d" in head.stdout
+    # the flip was committed, not left dangling (untracked files like
+    # the queue log are fine)
+    st = subprocess.run(["git", "status", "--porcelain"], cwd=tmp_path,
+                        capture_output=True, text=True)
+    assert all(line.startswith("??")
+               for line in st.stdout.splitlines()), st.stdout
+
+
+def test_main_reverts_on_parity_failure(tmp_path, monkeypatch):
+    """A failing parity gate must restore the original constants."""
+    log, _, bad_test = _scratch_repo(tmp_path, base=101.5, s2d=118.2,
+                                     budget=124.9, io=120.0)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(autoflip, "PARITY_TESTS", [bad_test])
+    assert _run_main(log) == 1
+    src = (tmp_path / "multi_modal_image_fusion_tpu/ops/s2d.py").read_text()
+    assert "S2D_DEFAULT = False" in src
+    assert "S2D_VMEM_BUDGET = 55 * 1024 * 1024" in src
+
+
+def _run_main(log):
+    import sys
+    argv = sys.argv
+    sys.argv = ["r3_autoflip.py", log]
+    try:
+        return autoflip.main()
+    finally:
+        sys.argv = argv
+
+
 def test_edit_targets_exist_in_s2d_module():
     # the assignments the flip rewrites must stay present and unique
     # (either pre- or post-flip value, so this holds after a real flip)

@@ -128,7 +128,11 @@ def _enter_kernel(xv_ref, xt_ref, out_ref, t_ref, tt_ref, s_ref, st_ref,
         tt = tt_ref[:, :]
         full = chunks[-1][0] + chunks[-1][1] if chunks else 0
         for py in (0, 1):
-            rows = jax.lax.slice(tt, (py, 0), (2 * tail, w2), (2, 1))
+            # phase rows py, py+2, ... as unit-stride slices + concat —
+            # Mosaic rejects strided vector slices (strides must be 1)
+            rows = jnp.concatenate(
+                [tt[py + 2 * i:py + 2 * i + 1, :] for i in range(tail)],
+                axis=0)
             even, odd = _split_lanes(rows)
             st_ref[2 * py, :tail, CHAIN_WG:CHAIN_WG + w2] = even
             st_ref[2 * py + 1, :tail, CHAIN_WG:CHAIN_WG + w2] = odd

@@ -87,21 +87,27 @@ def _nl_minmax_kernel(q_ref, k_ref, lo_ref, hi_ref, *, bn, mt, n, m):
         0, k_ref.shape[1] // mt, tile,
         (jnp.full((bn, 1), _POS, jnp.float32),
          jnp.full((bn, 1), _NEG, jnp.float32)))
+    # (1,1) -> block in TWO single-axis broadcasts: Mosaic rejects a
+    # vector.broadcast that expands sublanes and lanes at once
+    # ("Broadcast in both sublanes and lanes: Not implemented")
+    lo_col = jnp.broadcast_to(jnp.min(lo, axis=0, keepdims=True),
+                              (lo_ref.shape[0], 1))
+    hi_col = jnp.broadcast_to(jnp.max(hi, axis=0, keepdims=True),
+                              (hi_ref.shape[0], 1))
     lo_ref[...] = jnp.minimum(
-        lo_ref[...],
-        jnp.broadcast_to(jnp.min(lo, axis=0, keepdims=True),
-                         lo_ref.shape))
+        lo_ref[...], jnp.broadcast_to(lo_col, lo_ref.shape))
     hi_ref[...] = jnp.maximum(
-        hi_ref[...],
-        jnp.broadcast_to(jnp.max(hi, axis=0, keepdims=True),
-                         hi_ref.shape))
+        hi_ref[...], jnp.broadcast_to(hi_col, hi_ref.shape))
 
 
 def _nl_apply_kernel(lo_ref, inv_ref, q_ref, k_ref, out_ref, *, bn, mt, m):
     # scale operands arrive as (8, 128) VMEM splat tiles (a (2,) SMEM f32
-    # operand is the riskier lowering); (1, 1) slices broadcast cleanly
-    lo = lo_ref[0:1, 0:1]
-    inv = inv_ref[0:1, 0:1]
+    # operand is the riskier lowering). Expand them to (bn, 1) columns up
+    # front — a sublane-only broadcast — so the energy expression below
+    # only lane-broadcasts; a direct (1,1) op against the (bn, mt) tile
+    # would need both axes at once, which Mosaic rejects.
+    lo = jnp.broadcast_to(lo_ref[0:1, 0:1], (bn, 1))
+    inv = jnp.broadcast_to(inv_ref[0:1, 0:1], (bn, 1))
     q = q_ref[0]
 
     def tile(t, carry):

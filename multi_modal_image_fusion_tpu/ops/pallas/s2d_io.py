@@ -11,13 +11,19 @@ ONE bandwidth-bound pass each.
 The two stride-2 phase splits that make this hard on TPU are solved
 without any strided vector ops:
 
-- ROW phases ride the DMA: the input is viewed as (B, H/2, 2, W/2) —
-  a free row-major reshape — and each phase's strip is a point-indexed
-  slice whose DMA descriptor has a 2-row pitch. Sublane starts/sizes
-  stay 8-aligned (the Mosaic HBM-slice rule) for every chunk; the one
-  misaligned tail (H/2 % 8 == 4 when H % 16 == 8) is read through the
-  UNSPLIT flat view (always 8-aligned for H % 8 == 0) and deinterleaved
-  in-VMEM on a single 8-sublane tile.
+- ROW phases ride the LANE dim: the input is viewed as
+  (B, H/2, 2*(W/2)) — a free row-major reshape that concatenates each
+  even/odd original-row pair into ONE double-width packed row, phase 0
+  in lanes [0, W/2), phase 1 in lanes [W/2, 2*W/2). Strips of whole
+  packed rows DMA with 8-aligned sublane starts/sizes and full lane
+  extent (no slicing of any size-2 phase dim — Mosaic requires slices
+  along a tiled dim to be tile-aligned, and a (..., 2, W/2) view gets
+  the phase dim tiled at 2, rejecting the size-1 per-phase slice at
+  exactly the headline shape). Phases then separate in VMEM as
+  unit-stride lane slices at W/2-multiples. The one misaligned tail
+  (H/2 % 8 == 4 when H % 16 == 8) is read through the UNSPLIT flat view
+  (always 8-aligned for H % 8 == 0) and deinterleaved in-VMEM on a
+  single 8-sublane tile.
 - LANE phases use a bit-pun: a bf16 (even, odd) lane pair IS one u32
   lane. The kernel DMAs u32 (half the lanes), then
       even = bf16(bitcast_f32(u << 16))
@@ -87,10 +93,10 @@ def _enter_kernel(xv_ref, xt_ref, out_ref, t_ref, tt_ref, s_ref, st_ref,
                   chunks, tail, w2, wp):
     b = pl.program_id(0)
 
-    def in_dma(slot, py, start, size):
+    def in_dma(slot, start, size):
         return pltpu.make_async_copy(
-            xv_ref.at[b, pl.ds(start, size), py, :],
-            t_ref.at[slot, py, pl.ds(0, size)], in_sems.at[slot, py])
+            xv_ref.at[b, pl.ds(start, size), :],
+            t_ref.at[slot, pl.ds(0, size)], in_sems.at[slot])
 
     def out_dma(slot, start, size):
         return pltpu.make_async_copy(
@@ -99,19 +105,17 @@ def _enter_kernel(xv_ref, xt_ref, out_ref, t_ref, tt_ref, s_ref, st_ref,
             out_sems.at[slot])
 
     n = len(chunks)
-    for py in (0, 1):
-        in_dma(0, py, *chunks[0]).start()
+    in_dma(0, *chunks[0]).start()
     for j, (start, size) in enumerate(chunks):
         slot = j % 2
         if j + 1 < n:
-            for py in (0, 1):
-                in_dma(1 - slot, py, *chunks[j + 1]).start()
-        for py in (0, 1):
-            in_dma(slot, py, start, size).wait()
+            in_dma(1 - slot, *chunks[j + 1]).start()
+        in_dma(slot, start, size).wait()
         if j >= 2:
             out_dma(slot, *chunks[j - 2]).wait()
         for py in (0, 1):
-            even, odd = _split_lanes(t_ref[slot, py, :, :])
+            # phase py = lanes [py*w2, (py+1)*w2) of the merged row
+            even, odd = _split_lanes(t_ref[slot, :, py * w2:(py + 1) * w2])
             s_ref[slot, 2 * py, :, CHAIN_WG:CHAIN_WG + w2] = even
             s_ref[slot, 2 * py + 1, :, CHAIN_WG:CHAIN_WG + w2] = odd
         out_dma(slot, start, size).start()
@@ -158,7 +162,7 @@ def s2d_chain_enter(x, interpret=False):
     h2, w2 = h // 2, w // 2
     hg, wp = chain_shape(h2, w2)
     xu = jax.lax.bitcast_convert_type(x.reshape(b, h, w2, 2), jnp.uint32)
-    xv = xu.reshape(b, h2, 2, w2)
+    xv = xu.reshape(b, h2, 2 * w2)   # row pair -> one double-width row
     chunks, tail = _chunks(h2)
     xt = xu[:, h - 8:, :] if tail else jnp.zeros((b, 8, w2), jnp.uint32)
 
@@ -172,11 +176,11 @@ def s2d_chain_enter(x, interpret=False):
                   pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, _RCHUNK, w2), jnp.uint32),
+            pltpu.VMEM((2, _RCHUNK, 2 * w2), jnp.uint32),
             pltpu.VMEM((8, w2), jnp.uint32),
             pltpu.VMEM((2, 4, _RCHUNK, wp), x.dtype),
             pltpu.VMEM((4, 8, wp), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -198,10 +202,10 @@ def _exit_kernel(xt_ref, out_ref, outt_ref, t_ref, s_ref, st_ref,
             xt_ref.at[b, :, pl.ds(CHAIN_GUARD + start, size), :],
             t_ref.at[slot, :, pl.ds(0, size)], in_sems.at[slot])
 
-    def out_dma(slot, py, start, size):
+    def out_dma(slot, start, size):
         return pltpu.make_async_copy(
-            s_ref.at[slot, py, pl.ds(0, size)],
-            out_ref.at[b, pl.ds(start, size), py, :], out_sems.at[slot, py])
+            s_ref.at[slot, pl.ds(0, size)],
+            out_ref.at[b, pl.ds(start, size), :], out_sems.at[slot])
 
     n = len(chunks)
     in_dma(0, *chunks[0]).start()
@@ -211,18 +215,16 @@ def _exit_kernel(xt_ref, out_ref, outt_ref, t_ref, s_ref, st_ref,
             in_dma(1 - slot, *chunks[j + 1]).start()
         in_dma(slot, start, size).wait()
         if j >= 2:
-            for py in (0, 1):
-                out_dma(slot, py, *chunks[j - 2]).wait()
+            out_dma(slot, *chunks[j - 2]).wait()
         for py in (0, 1):
-            s_ref[slot, py, :, :] = _merge_lanes(
+            # phase py -> lanes [py*w2, (py+1)*w2) of the merged row
+            s_ref[slot, :, py * w2:(py + 1) * w2] = _merge_lanes(
                 t_ref[slot, 2 * py, :, CHAIN_WG:CHAIN_WG + w2],
                 t_ref[slot, 2 * py + 1, :, CHAIN_WG:CHAIN_WG + w2])
-        for py in (0, 1):
-            out_dma(slot, py, start, size).start()
+        out_dma(slot, start, size).start()
     for t in (n - 2, n - 1):
         if t >= 0:
-            for py in (0, 1):
-                out_dma(t % 2, py, *chunks[t]).wait()
+            out_dma(t % 2, *chunks[t]).wait()
 
     if tail:
         full = chunks[-1][0] + chunks[-1][1] if chunks else 0
@@ -257,7 +259,7 @@ def s2d_chain_exit(xt, h, w, interpret=False):
                              w2=w2, wp=xt.shape[3])
     out, outt = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((b, h2, 2, w2), jnp.uint32),
+        out_shape=(jax.ShapeDtypeStruct((b, h2, 2 * w2), jnp.uint32),
                    jax.ShapeDtypeStruct((b, 2 * tail if tail else 8, w2),
                                         jnp.uint32)),
         grid=(b,),
@@ -266,10 +268,10 @@ def s2d_chain_exit(xt, h, w, interpret=False):
                    pl.BlockSpec(memory_space=pltpu.HBM)),
         scratch_shapes=[
             pltpu.VMEM((2, 4, _RCHUNK, xt.shape[3]), xt.dtype),
-            pltpu.VMEM((2, 2, _RCHUNK, w2), jnp.uint32),
+            pltpu.VMEM((2, _RCHUNK, 2 * w2), jnp.uint32),
             pltpu.VMEM((8, w2), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

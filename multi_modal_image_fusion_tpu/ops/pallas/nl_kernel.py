@@ -58,9 +58,13 @@ def _col_mask(t, mt, m):
 def _nl_minmax_kernel(q_ref, k_ref, lo_ref, hi_ref, *, bn, mt, n, m):
     # Mosaic-safe by construction: the loop carries are (bn, 1) lane
     # reductions (no scalar f32 carries), and the cross-grid accumulator
-    # is an elementwise min/max on the resident (8, 128) block — the only
-    # rank reduction below (bn, 1) is one sublane reduce to (1, 1) per
-    # program, broadcast back to the block shape.
+    # is an elementwise min/max on a resident (bn, 128) block fed by a
+    # LANE-ONLY broadcast of the (bn, 1) carry. No (1, 1) vector exists
+    # anywhere in the kernel: Mosaic rejects (1,1)->block broadcasts
+    # ("Broadcast in both sublanes and lanes"), and splitting one into
+    # two single-axis broadcasts does not survive the canonicalizer —
+    # it re-fuses them into the rejected form (measured, queue2). The
+    # scalar reduction happens OUTSIDE the kernel on the (bn, 128) block.
     bi = pl.program_id(0)
     qi = pl.program_id(1)
 
@@ -87,27 +91,22 @@ def _nl_minmax_kernel(q_ref, k_ref, lo_ref, hi_ref, *, bn, mt, n, m):
         0, k_ref.shape[1] // mt, tile,
         (jnp.full((bn, 1), _POS, jnp.float32),
          jnp.full((bn, 1), _NEG, jnp.float32)))
-    # (1,1) -> block in TWO single-axis broadcasts: Mosaic rejects a
-    # vector.broadcast that expands sublanes and lanes at once
-    # ("Broadcast in both sublanes and lanes: Not implemented")
-    lo_col = jnp.broadcast_to(jnp.min(lo, axis=0, keepdims=True),
-                              (lo_ref.shape[0], 1))
-    hi_col = jnp.broadcast_to(jnp.max(hi, axis=0, keepdims=True),
-                              (hi_ref.shape[0], 1))
+    # lane-only broadcasts of the (bn, 1) carries; the sublane (row)
+    # reduction to a scalar happens on the host side
     lo_ref[...] = jnp.minimum(
-        lo_ref[...], jnp.broadcast_to(lo_col, lo_ref.shape))
+        lo_ref[...], jnp.broadcast_to(lo, lo_ref.shape))
     hi_ref[...] = jnp.maximum(
-        hi_ref[...], jnp.broadcast_to(hi_col, hi_ref.shape))
+        hi_ref[...], jnp.broadcast_to(hi, hi_ref.shape))
 
 
 def _nl_apply_kernel(lo_ref, inv_ref, q_ref, k_ref, out_ref, *, bn, mt, m):
-    # scale operands arrive as (8, 128) VMEM splat tiles (a (2,) SMEM f32
-    # operand is the riskier lowering). Expand them to (bn, 1) columns up
-    # front — a sublane-only broadcast — so the energy expression below
-    # only lane-broadcasts; a direct (1,1) op against the (bn, mt) tile
-    # would need both axes at once, which Mosaic rejects.
-    lo = jnp.broadcast_to(lo_ref[0:1, 0:1], (bn, 1))
-    inv = jnp.broadcast_to(inv_ref[0:1, 0:1], (bn, 1))
+    # scale operands arrive as (bn, 128) VMEM splat tiles; slicing one
+    # lane gives a (bn, 1) column directly, so the energy expression
+    # below only LANE-broadcasts. No (1, 1) vector is ever formed — a
+    # (1,1)-sourced broadcast (even split per-axis) re-fuses in the
+    # canonicalizer into the both-axes form Mosaic rejects (queue2).
+    lo = lo_ref[:, 0:1]
+    inv = inv_ref[:, 0:1]
     q = q_ref[0]
 
     def tile(t, carry):
@@ -160,23 +159,26 @@ def nl_spatial_flash(q, k, bn=512, mt=2048, interpret=False):
 
     lo, hi = pl.pallas_call(
         functools.partial(_nl_minmax_kernel, bn=bn, mt=mt, n=n, m=m),
-        out_shape=(jax.ShapeDtypeStruct((8, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((8, 128), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((bn, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((bn, 128), jnp.float32)),
         grid=(b, nblk),
         in_specs=[q_spec, k_spec],
-        out_specs=(pl.BlockSpec((8, 128), lambda bi, qi: (0, 0),
+        out_specs=(pl.BlockSpec((bn, 128), lambda bi, qi: (0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((8, 128), lambda bi, qi: (0, 0),
+                   pl.BlockSpec((bn, 128), lambda bi, qi: (0, 0),
                                 memory_space=pltpu.VMEM)),
         compiler_params=params,
         interpret=interpret,
     )(q, k)
-    lo_s = lo[0, 0]
-    inv_s = 1.0 / (hi[0, 0] - lo_s)
-    lo_t = jnp.broadcast_to(lo_s, (8, 128))
-    inv_t = jnp.broadcast_to(inv_s, (8, 128))
+    # scalar reduction outside the kernel (tiny XLA op); the scale
+    # operands return as (bn, 128) splat tiles the apply kernel can
+    # column-slice without forming a (1, 1) vector
+    lo_s = jnp.min(lo)
+    inv_s = 1.0 / (jnp.max(hi) - lo_s)
+    lo_t = jnp.broadcast_to(lo_s, (bn, 128))
+    inv_t = jnp.broadcast_to(inv_s, (bn, 128))
 
-    scale_spec = pl.BlockSpec((8, 128), lambda bi, qi: (0, 0),
+    scale_spec = pl.BlockSpec((bn, 128), lambda bi, qi: (0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_nl_apply_kernel, bn=bn, mt=mt, m=m),

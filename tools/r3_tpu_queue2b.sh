@@ -62,6 +62,24 @@ echo "=== $(date) autoflip: default the winning s2d variant (parity-gated)"
 timeout 3900 python tools/r3_autoflip.py
 echo "--- autoflip exit: $?"
 
+# flash nl: queue2's probe/benches ran the pre-fix kernel (its process
+# started before commit 79b6390 removed the (1,1) vectors; AOT compile
+# now passes for bn=256/512/1024) — re-measure the flash path for real
+echo "=== $(date) probe_nl (flash kernel, no (1,1) vectors)"
+timeout 1500 python tools/probe_nl.py
+echo "--- probe_nl exit: $?"
+
+echo "=== $(date) bench res2fusion b2 (flash nl kernel)"
+BENCH_MODEL=res2fusion BENCH_BATCH=2 timeout 1800 python bench.py
+if [ $? -ne 0 ]; then
+  echo "=== flash path failed; res2fusion b2 with MMIF_FLASH_NL=0"
+  MMIF_FLASH_NL=0 BENCH_MODEL=res2fusion BENCH_BATCH=2 timeout 1800 python bench.py
+fi
+
+echo "=== $(date) bench res2fusion b4 (flash nl kernel)"
+BENCH_MODEL=res2fusion BENCH_BATCH=4 timeout 1800 python bench.py
+echo "--- res2fusion b4 exit: $?"
+
 echo "=== $(date) queue2b done"
 python tools/summarize_queue.py docs/r3_queue_results.log \
   > docs/r3_queue_summary.md 2>/dev/null || true

@@ -11,7 +11,7 @@ cd /root/repo
 exec > >(tee -a /root/repo/docs/r3_queue_results.log) 2>&1
 
 echo "=== $(date) health check (queue3: lost queue-1 legs)"
-timeout 180 python -c "
+timeout 600 python -c "
 import jax, jax.numpy as jnp
 print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))

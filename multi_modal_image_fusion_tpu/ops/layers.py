@@ -512,13 +512,20 @@ class ConvLayer(nn.Module):
                        and (self.act is None or self.act in _FUSABLE_ACTS))
             if pad:
                 x = pad2d(x, pad, self.pad_mode)
-            if use_pallas and _FAST_TRAINING.get() and train:
+            fast_route = use_pallas and _FAST_TRAINING.get() and train
+            if fast_route:
                 # differentiable kernel route: bias/norm/act stay as XLA
-                # ops below (autodiff handles them; the conv dominates)
-                from .pallas.conv_vjp import conv_valid_fast
+                # ops below (autodiff handles them; the conv dominates).
+                # Over-budget layers (UNFusion's 1280-ch full-res decode,
+                # config #4) register-spill in Mosaic — those stay on the
+                # XLA conv in the else branch, which is differentiable.
+                from .pallas.conv_vjp import conv_fast_fits, conv_valid_fast
 
+                fast_route = conv_fast_fits(in_ch, self.out_ch, x.shape[2],
+                                            self.ksize, x.dtype.itemsize)
+            if fast_route:
                 y = conv_valid_fast(x, kernel.astype(x.dtype), self.ksize)
-            elif use_pallas:
+            elif use_pallas and not (_FAST_TRAINING.get() and train):
                 from .pallas.conv_kernel import conv_tlane_dma
 
                 # rows=16 is the measured sweet spot at c<=32; larger

@@ -34,6 +34,39 @@ def _rows_for(c_in):
     return 16 if c_in <= 32 else 8
 
 
+def conv_fast_fits(c_in, c_out, w_img, k, esz,
+                   budget=55 * 1024 * 1024):
+    """Conservative scoped-VMEM estimate for the fast-training conv route.
+
+    Covers BOTH kernel launches the custom VJP makes — the forward conv
+    (c_in -> c_out) and the dx full-correlation (c_out -> c_in, on a
+    (k-1)-padded cotangent) — since either can be the one that blows
+    Mosaic's scoped-vmem accounting. UNFusion's 1280-channel full-res
+    scale-2 decode layer (BASELINE config #4) register-spills 80 MB when
+    routed through the kernel; layers that fail this check stay on XLA's
+    conv, which is differentiable anyway and respectable at c >= 128.
+    Budget matches the chain path's default (ops/layers.py) and honors
+    the same MMIF_CHAIN_VMEM_BUDGET override.
+    """
+    import os
+    budget = int(os.environ.get("MMIF_CHAIN_VMEM_BUDGET", budget))
+
+    def est(ci, co, wimg):
+        rows = _rows_for(ci)
+        wp = -(-wimg // 128) * 128
+        tdma = -(-(rows + k - 1) // 8) * 8
+        t = 2 * ci * tdma * wp * esz            # double-buffered in strips
+        a = k * ci * rows * wp * esz            # kh-staged A operand
+        p = min(7, k) * co * rows * wp * 4      # f32 partial-product temp
+        acc = co * rows * wp * 4                # f32 accumulator
+        stage = 2 * co * rows * wp * esz        # double-buffered out stage
+        wgt = k * k * ci * co * esz             # weights VMEM-resident
+        return t + a + p + acc + stage + wgt
+
+    return max(est(c_in, c_out, w_img),
+               est(c_out, c_in, w_img + k - 1)) <= budget
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv_valid_fast(xp, w, k, interpret=False):
     """VALID conv of a pre-padded NHWC input through the Pallas kernel,

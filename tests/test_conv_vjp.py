@@ -79,3 +79,22 @@ def test_loss_bundle_grad_parity():
     for a, b in zip(g_f, g_r):
         scale = float(jnp.abs(b).max()) + 1e-8
         assert float(jnp.abs(a - b).max()) / scale < 1e-3
+
+
+def test_fast_fits_gates_config4_spill_layer():
+    """The fast-training route must refuse layers whose kernel launch
+    register-spills in Mosaic (UNFusion's 1280-ch full-res scale-2 decode,
+    BASELINE config #4) while keeping the patch-scale layers it was
+    measured on."""
+    from multi_modal_image_fusion_tpu.ops.pallas.conv_vjp import (
+        conv_fast_fits)
+
+    # the config-4 crash layer: c_in=1280, c_out=640, k3, f32, scale-2
+    # width ~306 (1224/4) -> the t-scratch alone is 80 MB
+    assert not conv_fast_fits(1280, 640, 306 + 2, 3, 4)
+    # 64x64 patch training shapes (the measured fast_train regime) fit
+    assert conv_fast_fits(64, 64, 66, 3, 4)
+    assert conv_fast_fits(16, 32, 66, 3, 2)
+    # dx orientation is covered too: a huge c_out with tiny c_in must
+    # fail even though the forward orientation alone would pass rows=16
+    assert not conv_fast_fits(16, 2048, 1226, 3, 4)

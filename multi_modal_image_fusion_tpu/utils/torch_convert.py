@@ -12,14 +12,16 @@ tools/convert_torch_ckpt.py). Conversion rules:
 - batch/group-norm weight/bias -> scale/bias; BN running stats ->
   batch_stats collection
 
-Every zoo model except the configurable MyFusion is covered; conversion
-fails loudly if any torch key is left unconsumed (so drift in either
+All 16 zoo models are covered (the configurable MyFusion via
+`convert_myfusion` / `convert_state_dict(..., **model_cfg)` with the
+design-space kwargs the checkpoint was trained with); conversion fails
+loudly if any torch key is left unconsumed (so drift in either
 implementation is caught, backed by the exact param-count parity tests).
 """
 
 import numpy as np
 
-__all__ = ["convert_state_dict"]
+__all__ = ["convert_state_dict", "convert_myfusion"]
 
 
 def _conv_w(w):
@@ -340,10 +342,24 @@ def _seq(t, prefix, flax_names, **kw):
             for i, fn in enumerate(flax_names)}
 
 
-def convert_state_dict(model_name, torch_sd):
-    """Returns {"params": ..., [\"batch_stats\": ...]} for the zoo model."""
-    t = _Taker(torch_sd)
+def convert_state_dict(model_name, torch_sd, **model_cfg):
+    """Returns {"params": ..., [\"batch_stats\": ...]} for the zoo model.
+
+    MyFusion checkpoints are config-dependent (reference model.py:630-842):
+    pass the design-space kwargs the checkpoint was trained with
+    (encoder/decoder/fusion_method/share_weight_levels), mirroring the
+    train CLI's --model_cfg."""
     name = model_name.lower()
+    if name == "myfusion":
+        kw = {k: model_cfg[k] for k in ("encoder", "decoder",
+                                        "fusion_method",
+                                        "share_weight_levels")
+              if k in model_cfg}
+        return convert_myfusion(torch_sd, **kw)
+    if model_cfg:
+        raise ValueError(
+            f"model_cfg kwargs only apply to 'myfusion', not {name!r}")
+    t = _Taker(torch_sd)
     stats = {}
 
     if name == "deepfuse":
@@ -462,8 +478,7 @@ def convert_state_dict(model_name, torch_sd):
         p["decode"] = _nest_decoder(t, "decode", _conv_block)
 
     else:
-        raise ValueError(f"no converter for model {model_name!r} "
-                         "(MyFusion checkpoints are config-dependent)")
+        raise ValueError(f"no converter for model {model_name!r}")
 
     t.done()
     out = {"params": p}

@@ -2,7 +2,13 @@
 chenzpstar/Multi-Modal-Image-Fusion) into this framework's flax checkpoint.
 
 Usage:
-    python tools/convert_torch_ckpt.py <model_name> <in.pth> <out.ckpt>
+    python tools/convert_torch_ckpt.py <model_name> <in.pth> <out.ckpt> \
+        [key=value ...]
+
+key=value pairs are the MyFusion design-space config the checkpoint was
+trained with (reference model.py:630-842), e.g.
+    python tools/convert_torch_ckpt.py myfusion my.pth out.ckpt \
+        encoder=res2 decoder=plain fusion_method=rfn share_weight_levels=0
 
 The output loads in the test/eval CLIs (it stores params [+ batch_stats]
 with a .json metadata sidecar). Requires torch on the host to unpickle the
@@ -17,10 +23,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    if len(sys.argv) != 4:
+    if len(sys.argv) < 4:
         print(__doc__)
         sys.exit(1)
     model_name, in_path, out_path = sys.argv[1:4]
+    cfg = {}
+    for kv in sys.argv[4:]:
+        k, _, v = kv.partition("=")
+        cfg[k] = int(v) if v.lstrip("-").isdigit() else v
 
     import torch
 
@@ -31,7 +41,7 @@ def main():
 
     sd = torch.load(in_path, map_location="cpu")
     sd = {k: v.numpy() for k, v in sd.items()}
-    variables = convert_state_dict(model_name, sd)
+    variables = convert_state_dict(model_name, sd, **cfg)
 
     blob = serialization.msgpack_serialize(
         {"params": variables["params"],
@@ -40,8 +50,8 @@ def main():
     with open(out_path, "wb") as f:
         f.write(blob)
     with open(out_path + ".json", "w") as f:
-        json.dump({"model": model_name, "converted_from": in_path}, f,
-                  indent=1)
+        json.dump({"model": model_name, "converted_from": in_path,
+                   **({"model_cfg": cfg} if cfg else {})}, f, indent=1)
     n = sum(v.size for v in sd.values())
     print(f"converted {model_name}: {n / 1e6:.3f}M params -> {out_path}")
 

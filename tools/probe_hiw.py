@@ -89,6 +89,13 @@ def main():
 
                 in_dma(slot, j).wait()
 
+                # wait for the 2-back out DMA BEFORE writing stage_ref[slot]
+                # (write-after-read race otherwise; matches the ref kernel's
+                # wait-then-write order so timings compare fairly)
+                @pl.when(j >= 2)
+                def _():
+                    out_dma(slot, j - 2).wait()
+
                 for i0 in range(0, rows, g):
                     # contiguous K-window: rows [i0*c_in, (i0+gk)*c_in)
                     # of the (tdma*c_in, wp) strip view — no staging
@@ -105,10 +112,6 @@ def main():
                     stage_ref[slot, pl.ds(i0, g)] = jnp.maximum(
                         y, 0.0).astype(out_ref.dtype).reshape(
                             g, c_out, wp)
-
-                @pl.when(j >= 2)
-                def _():
-                    out_dma(slot, j - 2).wait()
 
                 out_dma(slot, j).start()
                 return carry
@@ -243,9 +246,11 @@ def main():
 
         return conv
 
-    def parity(fn, k, c_in, c_out, hmajor):
+    def parity(fn, k, c_in, c_out, hmajor, hsub=4):
+        # hsub >= 4 exercises the double-buffered out-stage reuse (the
+        # j >= 2 wait path) that an hsub=2 check never reaches
         r = np.random.RandomState(1)
-        hrows = 2 * rows
+        hrows = hsub * rows
         hp = hrows + 16
         x = jnp.asarray(r.rand(1, hp, 40 + k - 1, c_in) - 0.5, jnp.float32)
         w = jnp.asarray(r.rand(k, k, c_in, c_out) - 0.5, jnp.float32)

@@ -78,8 +78,15 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "deepfuse")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    # BENCH_TILES > 1: single-chip height tiling (parallel/tiling.py) —
+    # trades halo recompute for the heavy tail's HBM-capacity-bound
+    # decoder working sets. H pads (reflect) to a slab-aligned multiple;
+    # throughput still counts the true 1224-row pairs.
+    tiles = int(os.environ.get("BENCH_TILES", "0"))
+
     model = create_model(model_name)
     r = np.random.RandomState(0)
+    Hp = H if tiles <= 1 else -(-H // (8 * tiles)) * (8 * tiles)
     x1 = jnp.asarray(r.rand(batch, H, W, 1), jnp.float32)
     x2 = jnp.asarray(r.rand(batch, H, W, 1), jnp.float32)
     # init at a small spatial size: param shapes are H/W-independent, and a
@@ -89,12 +96,24 @@ def main():
                            x2[:1, :256, :256], train=False)
     variables = jax.tree.map(lambda p: p.astype(dtype), variables)
     x2 = x2.astype(dtype)
+    if tiles > 1:
+        from multi_modal_image_fusion_tpu.parallel.tiling import \
+            tiled_forward
+
+        def fwd(a, b):
+            pad = ((0, 0), (0, Hp - H), (0, 0), (0, 0))
+            a = jnp.pad(a, pad, mode="reflect")
+            b = jnp.pad(b, pad, mode="reflect")
+            return tiled_forward(model, variables, a, b, tiles)[:, :H]
+    else:
+        def fwd(a, b):
+            return model.apply(variables, a, b, train=False)
 
     @functools.partial(jax.jit, static_argnames="n")
     def bench_loop(a, b, n):
         def body(i, carry):
             a, s = carry
-            y = model.apply(variables, a, b, train=False)
+            y = fwd(a, b)
             m = y.mean()      # depends on every output element: no DCE
             a = a + m.astype(a.dtype) * jnp.asarray(1e-6, a.dtype)
             return a, s + m.astype(jnp.float32)

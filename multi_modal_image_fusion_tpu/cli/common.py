@@ -164,6 +164,15 @@ def get_test_parser():
                         "noted at runtime). For single-pair latency or "
                         "beyond-HBM resolutions; stride-1 local-fusion "
                         "models only. 0/1 = off")
+    p.add_argument("--tiles", default=0, type=int,
+                   help="single-chip height tiling: run the forward in N "
+                        "sequential height slabs (parallel/tiling.py), "
+                        "dropping peak activation HBM ~N-fold for the "
+                        "memory-bound multi-scale decoders at the cost "
+                        "of halo recompute. Exact output parity "
+                        "(two-phase encode/fuse/decode keeps global "
+                        "fusion statistics global). Heights pad to a "
+                        "slab-aligned multiple like --spatial. 0/1 = off")
     return p
 
 

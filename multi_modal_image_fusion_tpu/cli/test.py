@@ -27,8 +27,17 @@ from .common import dataset_layout, get_test_parser, resolve_data_dir, \
     save_result
 
 
-def make_infer_fn(model, variables, spatial=0):
-    if spatial and spatial > 1:
+def make_infer_fn(model, variables, spatial=0, tiles=0):
+    if tiles and tiles > 1:
+        # sequential height slabs on one chip (parallel/tiling.py): exact
+        # output, ~tiles-fold lower peak activation HBM for the
+        # memory-bound multi-scale decoders
+        from ..parallel.tiling import tiled_forward
+
+        @jax.jit
+        def fuse(img1, img2):
+            return tiled_forward(model, variables, img1, img2, tiles)
+    elif spatial and spatial > 1:
         # height-sharded fused forward: one pair across `spatial` chips
         # (parallel/spatial.py — exact parity with the single-device
         # forward; latency axis the reference's batch-DP cannot touch)
@@ -56,15 +65,19 @@ def make_infer_fn(model, variables, spatial=0):
 
 
 def test_model(model, variables, dataset, save_dir=None, log_file=None,
-               pad_bucket=0, fast=False, spatial=0):
+               pad_bucket=0, fast=False, spatial=0, tiles=0):
     from ..ops.layers import fast_inference
 
     timer = AverageMeter()
     ssim_meter = AverageMeter()
-    fuse, ssim_of = make_infer_fn(model, variables, spatial=spatial)
-    # height must split evenly over the spatial mesh; fold that into the
-    # pad-and-crop bucket machinery (reflect pad, crop after)
+    fuse, ssim_of = make_infer_fn(model, variables, spatial=spatial,
+                                  tiles=tiles)
+    # height must split evenly over the spatial mesh / tile grid (slabs
+    # additionally 8-row aligned); fold that into the pad-and-crop bucket
+    # machinery (reflect pad, crop after)
     h_mult = spatial if spatial and spatial > 1 else 1
+    if tiles and tiles > 1:
+        h_mult = 8 * tiles
     noted_heights = set()
 
     for i in range(len(dataset)):
@@ -83,10 +96,12 @@ def test_model(model, variables, dataset, save_dir=None, log_file=None,
                 # an indivisible H takes the pad_bucket-class seam
                 # deviation (<1e-3 SSIM) — say so rather than silently
                 # weakening the --spatial exactness contract
-                print(f"note: H={h} not divisible by --spatial "
-                      f"{h_mult}; reflect-padding to {h + ph} (output "
-                      f"deviates within the receptive field of the pad "
-                      f"seam, as with --pad_bucket)")
+                which = ("--tiles slab grid" if tiles and tiles > 1
+                         else "--spatial mesh")
+                print(f"note: H={h} not divisible by the {which} "
+                      f"multiple {h_mult}; reflect-padding to {h + ph} "
+                      f"(output deviates within the receptive field of "
+                      f"the pad seam, as with --pad_bucket)")
             cfg = ((0, 0), (0, ph), (0, pw), (0, 0))
             xp1 = jnp.pad(x1, cfg, mode="reflect")
             xp2 = jnp.pad(x2, cfg, mode="reflect")
@@ -174,7 +189,8 @@ def main(argv=None):
     try:
         ssim, avg_time = test_model(model, variables, dataset, save_dir,
                                     log_file, pad_bucket=pad_bucket,
-                                    fast=args.fast, spatial=args.spatial)
+                                    fast=args.fast, spatial=args.spatial,
+                                    tiles=args.tiles)
         line = (f"ssim: {ssim:.4f}, time: {avg_time * 1000:.3f}ms, "
                 f"fps: {1.0 / avg_time:.3f}")
         print(line)

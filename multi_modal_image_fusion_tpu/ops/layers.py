@@ -591,6 +591,34 @@ def avg_pool(x, window, stride=None):
     return s / float(window * window)
 
 
+# Height-tile context (parallel/tiling.py): while a decoder runs on a
+# height slab, bilinear align_corners weights must come from the FULL
+# image geometry (the (H_in-1)/(H_out-1) ratio and the absolute row
+# position are global), or the slab output drifts from the whole-image
+# forward. The tiling driver sets this to (abs_start_rows, slab_h, full_h)
+# — all in full-resolution rows; every slab tensor of height h is then at
+# scale s = slab_h // h with absolute start abs_start // s.
+_TILE_ROWS_CTX = None
+
+
+class tile_rows_ctx:
+    """Context manager used by parallel.tiling during slab decode tracing."""
+
+    def __init__(self, abs_start, slab_h, full_h):
+        self.val = (abs_start, int(slab_h), int(full_h))
+
+    def __enter__(self):
+        global _TILE_ROWS_CTX
+        self._prev = _TILE_ROWS_CTX
+        _TILE_ROWS_CTX = self.val
+        return self
+
+    def __exit__(self, *exc):
+        global _TILE_ROWS_CTX
+        _TILE_ROWS_CTX = self._prev
+        return False
+
+
 def interpolate(x, scale_factor, mode="nearest"):
     """torch nn.Upsample semantics on NHWC: 'nearest' (floor mapping) or
     'bilinear' with align_corners=True (reference core/block.py:965-973)."""
@@ -611,8 +639,37 @@ def interpolate(x, scale_factor, mode="nearest"):
             t = (src - lo).astype(x.dtype)
             return lo, lo + 1, t
 
-        hlo, hhi, ht = axis_weights(h, oh)
-        wlo, whi, wt = axis_weights(w, ow)
+        if _TILE_ROWS_CTX is not None:
+            # slab-local H weights from the full-image geometry; bit-equal
+            # to slicing the whole-image interpolate (tests/test_tiling.py)
+            abs_start, slab_h, full_h = _TILE_ROWS_CTX
+            if slab_h % h:
+                raise ValueError(
+                    f"tiled bilinear: slab height {slab_h} not a multiple "
+                    f"of feature height {h}")
+            s_in = slab_h // h
+            if s_in % scale_factor:
+                raise ValueError(
+                    f"tiled bilinear: input scale {s_in} not divisible by "
+                    f"scale_factor {scale_factor}")
+            s_out = s_in // scale_factor
+            h_in_full, h_out_full = full_h // s_in, full_h // s_out
+            a_in = abs_start // s_in
+            a_out = abs_start // s_out
+            # same f32 arithmetic as the whole-image path: exact-int f32
+            # row index times the same weak-typed ratio
+            src = (a_out + jnp.arange(oh, dtype=jnp.float32)) * (
+                (h_in_full - 1) / (h_out_full - 1))
+            lo_abs = jnp.clip(jnp.floor(src).astype(jnp.int32), 0,
+                              h_in_full - 2)
+            ht = (src - lo_abs).astype(x.dtype)
+            # local clamp only protects halo rows that are discarded anyway
+            hlo = jnp.clip(lo_abs - a_in, 0, h - 2)
+            hhi = hlo + 1
+            wlo, whi, wt = axis_weights(w, ow)
+        else:
+            hlo, hhi, ht = axis_weights(h, oh)
+            wlo, whi, wt = axis_weights(w, ow)
         top = x[:, hlo][:, :, wlo] * (1 - wt)[None, None, :, None] + \
             x[:, hlo][:, :, whi] * wt[None, None, :, None]
         bot = x[:, hhi][:, :, wlo] * (1 - wt)[None, None, :, None] + \

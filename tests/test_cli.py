@@ -86,6 +86,33 @@ def test_train_test_eval_roundtrip(tiny_dataset, tmp_path):
         assert "Qabf" in sheet and "SSIM" in sheet
 
 
+def test_cli_tiles_inference(tiny_dataset, tmp_path):
+    """--tiles: height-tiled inference through the test CLI matches the
+    untiled run (two-phase tiling for a multi-scale model; 128 rows pad
+    to 160 for the 8*4-row slab grid — seam deviation < 1e-3 like
+    pad_bucket)."""
+    from multi_modal_image_fusion_tpu.cli import test as test_cli
+    from multi_modal_image_fusion_tpu.cli import train as train_cli
+
+    ckpt_root = str(tmp_path / "checkpoints")
+    ckpt_dir = train_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--model", "nestfuse",
+        "--bs", "4", "--epoch", "1",
+    ])
+    ckpt_name = os.path.basename(ckpt_dir)
+    base = test_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--ckpt", ckpt_name,
+    ])
+    tiled = test_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", ckpt_root, "--ckpt", ckpt_name,
+        "--tiles", "4",
+    ])
+    assert abs(tiled[0] - base[0]) < 1e-3, (tiled[0], base[0])
+
+
 def test_train_resume(tiny_dataset, tmp_path):
     from multi_modal_image_fusion_tpu.cli import train as train_cli
 

@@ -1,13 +1,17 @@
-"""Zoo-wide full-resolution inference benchmark (VERDICT round-2 item #3).
+"""Zoo-wide full-resolution inference benchmark (VERDICT round-2 item #3;
+round-4: height-tiling ladder + one-current-row-per-model output).
 
 Runs bench.py once per zoo model at 1224x1024 (the polarization resolution,
 reference README.md:61-69), honest protocol, recording pairs/s per model.
 Each model runs in a fresh subprocess (the relay pays a full remote compile
-per model anyway — the persistent cache does not round-trip). On failure
-(OOM at full res), retries with a smaller batch.
+per model anyway — the persistent cache does not round-trip). The ladder
+per model tries (batch, tiles) configs in order; tiles > 1 routes through
+parallel/tiling.py (the HBM-capacity-bound heavy tail trades halo
+recompute for batch headroom).
 
-Output: one JSON line per model appended to docs/zoo_bench.jsonl and a
-markdown table on stdout at the end.
+Output: docs/zoo_bench.jsonl is REWRITTEN with exactly one current row per
+model (the append-only log self-contradicted across reruns — VERDICT r3
+weak #6); per-run history goes to stdout only.
 """
 
 import json
@@ -17,32 +21,35 @@ import sys
 import time
 
 MODELS = [
-    # (name, batch ladder — first that succeeds wins)
-    ("deepfuse", [16]),
-    ("densefuse", [16]),
-    ("vifnet", [16, 8]),
-    ("ifcnn", [16, 8]),
-    ("difnet", [16, 8]),
-    ("pfnetv1", [16, 8]),
-    ("pfnetv2", [16, 8]),
-    ("dbnet", [16, 8]),
-    ("pmgi", [16, 8]),
-    ("sedrfuse", [8, 4]),
-    ("nestfuse", [8, 4, 2]),
-    ("rfnnest", [4, 2, 1]),
-    ("unfusion", [4, 2, 1]),
-    ("res2fusion", [2, 1]),
-    ("mafusion", [8, 4, 2, 1]),
-    ("myfusion", [8, 4, 2]),
+    # (name, ladder of (batch, tiles) — first that succeeds wins; a
+    # trailing 0-tile config is the untiled fallback)
+    ("deepfuse", [(16, 0)]),
+    ("densefuse", [(16, 0)]),
+    ("vifnet", [(16, 0), (8, 0)]),
+    ("ifcnn", [(16, 0), (8, 0)]),
+    ("difnet", [(16, 0), (8, 0)]),
+    ("pfnetv1", [(16, 0), (8, 0)]),
+    ("pfnetv2", [(16, 0), (8, 0)]),
+    ("dbnet", [(16, 0), (8, 0)]),
+    ("pmgi", [(16, 0), (8, 0)]),
+    ("sedrfuse", [(8, 0), (4, 0)]),
+    # multi-scale heavy tail: two-phase tiling frees the decoder concat
+    # working set -> larger batches should fit
+    ("nestfuse", [(16, 4), (8, 4), (8, 0), (4, 0), (2, 0)]),
+    ("rfnnest", [(16, 4), (8, 4), (4, 4), (4, 0), (2, 0), (1, 0)]),
+    ("unfusion", [(16, 4), (8, 4), (4, 4), (4, 0), (2, 0), (1, 0)]),
+    ("res2fusion", [(8, 4), (4, 4), (2, 4), (2, 0), (1, 0)]),
+    ("mafusion", [(16, 4), (8, 4), (4, 4), (2, 0), (1, 0)]),
+    ("myfusion", [(8, 0), (4, 0), (2, 0)]),
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "docs", "zoo_bench.jsonl")
 
 
-def run_one(name, batch):
+def run_one(name, batch, tiles):
     env = dict(os.environ, BENCH_MODEL=name, BENCH_BATCH=str(batch),
-               BENCH_ITERS="10")
+               BENCH_ITERS="10", BENCH_TILES=str(tiles))
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
@@ -61,54 +68,78 @@ def run_one(name, batch):
     return json.loads(line), wall, None
 
 
-def main():
+def load_current():
+    """Last non-error row per model from the existing file (success beats
+    an earlier error; later rows beat earlier ones)."""
     done = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
             for ln in f:
+                ln = ln.strip()
+                if not ln:
+                    continue
                 rec = json.loads(ln)
-                done[rec["model"]] = rec
+                prev = done.get(rec["model"])
+                if rec.get("pairs_per_sec") or prev is None:
+                    done[rec["model"]] = rec
+    return done
+
+
+def write_all(done):
+    order = [name for name, _ in MODELS]
+    with open(OUT, "w") as f:
+        for name in order:
+            if name in done:
+                f.write(json.dumps(done[name]) + "\n")
+        for name in sorted(set(done) - set(order)):
+            f.write(json.dumps(done[name]) + "\n")
+
+
+def main():
+    done = load_current()
+    write_all(done)          # normalize even if nothing new runs
 
     only = sys.argv[1:]
-    for name, batches in MODELS:
+    for name, ladder in MODELS:
         if only and name not in only:
             continue
-        if name in done and not only:
+        if name in done and done[name].get("pairs_per_sec") and not only:
             print(f"[skip] {name}: already recorded "
                   f"{done[name]['pairs_per_sec']} pairs/s", flush=True)
             continue
         rec = None
-        for batch in batches:
-            print(f"[run] {name} b{batch} ...", flush=True)
+        for batch, tiles in ladder:
+            tag = f"b{batch}" + (f" t{tiles}" if tiles else "")
+            print(f"[run] {name} {tag} ...", flush=True)
             try:
-                result, wall, err = run_one(name, batch)
+                result, wall, err = run_one(name, batch, tiles)
             except subprocess.TimeoutExpired:
                 result, wall, err = None, 1800.0, "timeout"
             if result is not None:
-                rec = {"model": name, "batch": batch,
+                rec = {"model": name, "batch": batch, "tiles": tiles,
                        "pairs_per_sec": result["value"],
                        "vs_baseline": result.get("vs_baseline"),
                        "wall_s": round(wall, 1)}
-                print(f"[ok]  {name} b{batch}: {result['value']} pairs/s "
+                print(f"[ok]  {name} {tag}: {result['value']} pairs/s "
                       f"(wall {wall:.0f}s)", flush=True)
                 break
-            print(f"[fail] {name} b{batch} (wall {wall:.0f}s):\n{err}",
+            print(f"[fail] {name} {tag} (wall {wall:.0f}s):\n{err}",
                   flush=True)
         if rec is None:
             rec = {"model": name, "batch": None, "pairs_per_sec": None,
                    "error": True}
-        with open(OUT, "a") as f:
-            f.write(json.dumps(rec) + "\n")
         done[name] = rec
+        write_all(done)
 
-    print("\n| model | batch | pairs/s |")
-    print("|---|---|---|")
+    print("\n| model | batch | tiles | pairs/s | vs north star |")
+    print("|---|---|---|---|---|")
     for name, _ in MODELS:
         r = done.get(name)
         if r and r.get("pairs_per_sec"):
-            print(f"| {name} | {r['batch']} | {r['pairs_per_sec']} |")
+            print(f"| {name} | {r['batch']} | {r.get('tiles', 0)} | "
+                  f"{r['pairs_per_sec']} | {r.get('vs_baseline')} |")
         else:
-            print(f"| {name} | — | FAILED |")
+            print(f"| {name} | — | — | FAILED | — |")
 
 
 if __name__ == "__main__":

@@ -233,6 +233,38 @@ class DeepFuse(_FusionModel):
             use_pair = bool(os.environ.get("MMIF_CHAIN_PAIR"))
             interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
 
+            # Halo-in-weights H-major chain (round 4, ops/pallas/
+            # hiw_kernel.py): deletes the C-major kernel's kh A-build —
+            # the measured VPU bottleneck — by folding the kh taps into a
+            # block-banded weight LHS; the dot's RHS becomes a contiguous
+            # sublane window of the strip. MMIF_CHAIN_HIW=auto/0/1.
+            from ..ops.pallas.hiw_kernel import hiw_enabled
+            if hiw_enabled() and not use_pair:
+                from ..ops.pallas.hiw_kernel import (conv_hiw_chain,
+                                                     hiw_enter, hiw_exit)
+
+                t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+
+                def hconv(t, layer, c_in, fuse_n=0):
+                    wgt, bias, k, act = layer(None, chain_hw=(h, w),
+                                              chain_defer_in_ch=c_in)
+                    return conv_hiw_chain(
+                        t, wgt.astype(t.dtype), k, h=h, w_valid=w,
+                        c_in=c_in, bias=bias, act=act, fuse_n=fuse_n,
+                        interpret=interp)
+
+                t = hconv(t, self.enc[0], 1)
+                t = hconv(t, self.enc[1], 16)
+                if self.fusion_mode == "sum":
+                    t = hconv(t, self.dec[0], 32, fuse_n=n)
+                else:
+                    # elementwise fusion works directly on H-major tensors
+                    t = element_fusion(t[:n], t[n:], self.fusion_mode)
+                    t = hconv(t, self.dec[0], 32)
+                t = hconv(t, self.dec[1], 32)
+                t = hconv(t, self.dec[2], 16)
+                return hiw_exit(t, h, w)
+
             # Space-to-depth packed chain (MMIF_S2D=1, ops/s2d.py): the
             # k5/k7 convs run as k3/k5 convs on f^2=4x the channels —
             # kp/k less VPU staging/roll traffic per original pixel on

@@ -1,0 +1,334 @@
+"""Halo-in-weights chain conv: the round-4 conv formulation.
+
+The production chain kernel (conv_kernel.py) is VPU-bound: its kh A-build
+(k staged strip copies per strip) plus kw roll-sums sit on the critical
+path around a dot that is ~10% of it; measured ceiling ~125 pairs/s vs a
+~420 pairs/s bf16 FLOP roofline (docs/PERFORMANCE.md, round 3;
+tools/probe_breakdown.py). This module deletes the A-build entirely:
+
+- **Layout**: H-major row-channel interleaved. A chain tensor is
+  (B, HG * C, Wp) where image row r, channel c lives at tensor row
+  (GUARD + r) * C + c (valid lanes at [WG, WG + w)). Strip DMAs slice
+  whole row-groups — offsets are multiples of C, which keeps every
+  HBM-side sublane slice 8-aligned for C % 8 == 0 — and the dot's RHS
+  for an output row group is a CONTIGUOUS sublane window of the strip:
+  rows [i0*C, (i0 + g + k - 1)*C). Zero staging copies.
+- **Weights**: block-banded LHS
+  W_band[(i + kh)*C_in + ci, (kw, i, co)] = w[kh, kw, ci, co], shape
+  ((g + k - 1) * C_in, k * g * C_out). The MXU eats the band zeros:
+  FLOP inflation is (g + k - 1)/k (1.43x at k7 g4) — cheap against the
+  ~10x idle MXU headroom of the staged formulation. kh rides the
+  contraction; kw cannot (lane shifts), so it stays in the SSA roll-sum
+  epilogue, whose dot output layout (kw, i, co) reshapes freely into the
+  H-major output stage.
+- Same production features as conv_tlane_chain: double-buffered strip
+  DMA pipeline, in-kernel reflect halo mirrors (row mirrors at the two
+  H-boundary strips, lane mirrors every strip), fuse_n siamese-sum
+  prologue, bias + act + cast staging epilogue.
+
+The hot op this replaces is every model's ConvLayer (reference
+core/block.py:26-118). Probe/decision data: tools/probe_hiw.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .conv_kernel import (CHAIN_GUARD, CHAIN_WG, _apply_act, _chain_dma_ok,
+                          _chain_enter_gray, _chain_exit_gray, chain_shape,
+                          _grayscale_fast_ok)
+
+__all__ = ["hiw_enter", "hiw_exit", "conv_hiw_chain", "hiw_pick_g",
+           "hiw_enabled"]
+
+# Default for the H-major halo-in-weights chain (flipped by the measured
+# TPU decision data, tools/r4_tpu_queue*.sh + tools/r3_autoflip.py style).
+HIW_DEFAULT = False
+
+
+def hiw_enabled():
+    """MMIF_CHAIN_HIW: '1'/'0' force; unset/'auto' -> HIW_DEFAULT."""
+    import os
+    v = os.environ.get("MMIF_CHAIN_HIW", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return HIW_DEFAULT
+
+
+def hiw_enter(x):
+    """NHWC grayscale (B, H, W, 1) -> H-major chain tensor (B, HG, Wp).
+
+    For C == 1 the H-major layout is byte-identical to the C-major guard
+    layout, so this reuses chain_enter's strip-copy kernel / XLA path."""
+    b, h, w, c = x.shape
+    assert c == 1, "chain tensors enter grayscale"
+    hg, wp = chain_shape(h, w)
+    if _grayscale_fast_ok(h, w) and _chain_dma_ok():
+        import os
+        xt = _chain_enter_gray(
+            x, interpret=bool(os.environ.get("MMIF_CHAIN_INTERPRET")))
+        return xt.reshape(b, hg, wp)
+    out = jnp.zeros((b, hg, wp), x.dtype)
+    return jax.lax.dynamic_update_slice(
+        out, x[..., 0], (0, CHAIN_GUARD, CHAIN_WG))
+
+
+def hiw_exit(xt, h, w):
+    """H-major chain tensor (B, HG * 1, Wp) -> NHWC (B, H, W, 1)."""
+    b, hgc, wp = xt.shape
+    if _grayscale_fast_ok(h, w) and _chain_dma_ok():
+        import os
+        return _chain_exit_gray(
+            xt.reshape(b, 1, hgc, wp), h, w,
+            interpret=bool(os.environ.get("MMIF_CHAIN_INTERPRET")))
+    return xt[:, CHAIN_GUARD:CHAIN_GUARD + h,
+              CHAIN_WG:CHAIN_WG + w][..., None]
+
+
+def hiw_pick_g(c_in, c_out, k, rows=16):
+    """Output-row group size: g rows of C_out channels per dot. Bigger g
+    amortizes the per-group dot launch but inflates band FLOPs by
+    (g+k-1)/k and the dot N dim by g. Constraints: rows % g == 0 and the
+    group sublane offsets (g*C_in, g*C_out) land on 8-aligned rows."""
+    for g in (4, 8, 16):
+        if rows % g == 0 and (g * c_in) % 8 == 0 and (g * c_out) % 8 == 0:
+            if g * max(c_out, c_in) >= 64:
+                return g
+    return rows
+
+
+def _hiw_band_weights(w, k, c_in, c_out, g, dtype):
+    """HWIO (k, k, c_in, c_out) -> block-banded LHS
+    ((g+k-1)*c_in, k*g*c_out), columns grouped (kw_order, i, co)."""
+    p_half = k // 2
+    kw_order = [p_half] + [kw for kw in range(k) if kw != p_half]
+    gk = g + k - 1
+    wb = jnp.zeros((gk * c_in, k * g * c_out), dtype)
+    # col[kw] is (k*c_in, c_out), rows ordered (kh, ci)
+    col = jnp.transpose(w, (1, 0, 2, 3)).reshape(k, k * c_in, c_out)
+    for kw_i, kw in enumerate(kw_order):
+        for i in range(g):
+            wb = jax.lax.dynamic_update_slice(
+                wb, col[kw].astype(dtype),
+                (i * c_in, (kw_i * g + i) * c_out))
+    return wb
+
+
+def _conv_kernel_hiw(*refs, k, rows, hsub, wp, c_in, c_out, g, out_dtype,
+                     has_bias, act, p_half, halo_hw, bot_strips, fuse_n,
+                     ext):
+    """Strip loop. The strip buffer t_ref is (tdma_s, wp) 2D: row-channel
+    flattened input rows [strip_start - p_half, strip_start + rows +
+    p_half) x c_in (+ `ext` lead sublanes when c_in is not 8-aligned —
+    only the 1-channel entry layer). Each output group's dot RHS is the
+    contiguous sublane window [ext + i0*c_in, + (g+k-1)*c_in)."""
+    if has_bias:
+        (x_ref, w_ref, b_ref, out_ref, t_ref, stage_ref, in_sems,
+         out_sems) = refs
+    else:
+        (x_ref, w_ref, out_ref, t_ref, stage_ref, in_sems, out_sems) = refs
+        b_ref = None
+    b = pl.program_id(0)
+    gh = pl.program_id(1)
+    h0 = gh * rows * hsub
+    gk = g + k - 1
+    tdma_s = t_ref.shape[1]
+    n_slots = 4 if fuse_n else 2
+
+    def in_dma(slot, j, b_off=0):
+        start = (CHAIN_GUARD - p_half + h0 + j * rows) * c_in - ext
+        return pltpu.make_async_copy(
+            x_ref.at[b + b_off, pl.ds(start, tdma_s), :],
+            t_ref.at[slot], in_sems.at[slot])
+
+    def out_dma(slot, j):
+        start = (CHAIN_GUARD + h0 + j * rows) * c_out
+        return pltpu.make_async_copy(
+            stage_ref.at[slot],
+            out_ref.at[b, pl.ds(start, rows * c_out), :],
+            out_sems.at[slot])
+
+    in_dma(0, 0).start()
+    if fuse_n:
+        in_dma(2, 0, fuse_n).start()
+
+    kw_order = [p_half] + [kw for kw in range(k) if kw != p_half]
+
+    def _mirror(slot, j):
+        """Reflect halo on the staged strip. Row mirrors touch the two
+        H-boundary strips only (static copies under pl.when on the global
+        strip index); lane mirrors run every strip across the full
+        buffer. Rows: valid row r is the c_in-sublane block at
+        ext + (r - (h0 + j*rows - p_half)) * c_in."""
+        wv = halo_hw[1]
+        sgj = gh * hsub + j
+
+        @pl.when(sgj == 0)
+        def _():
+            # window rows [-p_half, ...): t-row of valid row m is
+            # ext + (p_half + m)*c_in; mirror row -m <- row +m
+            for m in range(1, p_half + 1):
+                dst = ext + (p_half - m) * c_in
+                src = ext + (p_half + m) * c_in
+                t_ref[slot, dst:dst + c_in, :] = \
+                    t_ref[slot, src:src + c_in, :]
+        tdma = rows + k - 1
+        for s, th in bot_strips:
+            @pl.when(sgj == s)
+            def _(th=th):
+                # th: t-row-block index of valid row h; mirror h-1+m+1 <-
+                # h-1-(m+1) i.e. block th+m <- th-2-m. Rows past the DMA
+                # window (th+m >= tdma) are never read by this strip's
+                # output rows (all < h) — skip them (static bound)
+                for m in range(p_half):
+                    if th + m >= tdma:
+                        continue
+                    dst = ext + (th + m) * c_in
+                    src = ext + (th - 2 - m) * c_in
+                    t_ref[slot, dst:dst + c_in, :] = \
+                        t_ref[slot, src:src + c_in, :]
+        for jj in range(p_half):
+            la = CHAIN_WG - 1 - jj
+            t_ref[slot, :, la:la + 1] = \
+                t_ref[slot, :, CHAIN_WG + 1 + jj:CHAIN_WG + 2 + jj]
+            ra = CHAIN_WG + wv + jj
+            t_ref[slot, :, ra:ra + 1] = \
+                t_ref[slot, :, CHAIN_WG + wv - 2 - jj:CHAIN_WG + wv - 1 - jj]
+
+    def strip(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < hsub)
+        def _():
+            in_dma(1 - slot, j + 1).start()
+            if fuse_n:
+                in_dma(2 + (1 - slot), j + 1, fuse_n).start()
+
+        in_dma(slot, j).wait()
+        if fuse_n:
+            in_dma(2 + slot, j, fuse_n).wait()
+            t_ref[slot] = t_ref[slot] + t_ref[2 + slot]
+        if halo_hw is not None:
+            _mirror(slot, j)
+
+        # out DMA 2-back must drain BEFORE stage_ref[slot] is rewritten
+        @pl.when(j >= 2)
+        def _():
+            out_dma(slot, j - 2).wait()
+
+        for i0 in range(0, rows, g):
+            a = t_ref[slot, pl.ds(ext + i0 * c_in, gk * c_in), :]
+            p = jax.lax.dot_general(
+                w_ref[:, :], a, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # p rows grouped (kw, i, co); kw slice jj is (g*c_out, wp) in
+            # exactly the H-major output order
+            y = p[:g * c_out, :]
+            for jj in range(1, k):
+                sh = kw_order[jj] - p_half
+                y = y + jnp.roll(p[jj * g * c_out:(jj + 1) * g * c_out, :],
+                                 -sh, axis=-1)
+            if b_ref is not None:
+                y = y + b_ref[:, :]
+            stage_ref[slot, pl.ds(i0 * c_out, g * c_out)] = \
+                _apply_act(y, act).astype(out_dtype)
+
+        out_dma(slot, j).start()
+        return carry
+
+    jax.lax.fori_loop(0, hsub, strip, 0)
+    for tail in (hsub - 2, hsub - 1):
+        if tail >= 0:
+            out_dma(tail % 2, tail).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "h", "w_valid", "c_in", "act", "g",
+                                    "rows", "hsub", "fuse_n", "interpret"))
+def conv_hiw_chain(xt, w, k, h, w_valid, c_in, bias=None, act=None, g=None,
+                   rows=16, hsub=None, fuse_n=0, interpret=False):
+    """H-major chain conv: xt (B, HG*C_in, Wp) with valid region (h,
+    w_valid) at (CHAIN_GUARD, CHAIN_WG) -> (B, HG*C_out, Wp), same
+    geometry. w is HWIO (k, k, C_in, C_out). Reflect halos are always
+    mirrored in-kernel (the H-major layout has no XLA refresh helper).
+
+    fuse_n > 0: xt carries 2*fuse_n batch entries; computes
+    conv(xt[i] + xt[i + fuse_n]) for i < fuse_n ('sum' siamese fusion in
+    the input DMA; 'mean': pre-scale w by 0.5)."""
+    b, hgc, wp = xt.shape
+    c_out = w.shape[-1]
+    assert hgc % c_in == 0
+    hg = hgc // c_in
+    p_half = k // 2
+    assert p_half <= CHAIN_WG and p_half <= CHAIN_GUARD
+    assert rows % 8 == 0
+    if g is None:
+        g = hiw_pick_g(c_in, c_out, k, rows)
+    assert rows % g == 0 and (g * c_in) % 8 == 0 and (g * c_out) % 8 == 0, \
+        (rows, g, c_in, c_out)
+    if fuse_n:
+        assert b == 2 * fuse_n
+    b_out = fuse_n if fuse_n else b
+    h8 = -(-h // 8) * 8
+    if hsub is None:
+        hsub = -(-h8 // rows)
+    strip = rows * hsub
+    grid_h = -(-h8 // strip)
+    # strip DMA window in flattened rows; `ext` lead sublanes 8-align the
+    # HBM slice when c_in is not a multiple of 8 (the 1-channel entry)
+    tdma = rows + k - 1
+    if c_in % 8:
+        start0 = (CHAIN_GUARD - p_half) * c_in
+        ext = start0 - (start0 // 8) * 8
+    else:
+        ext = 0
+    tdma_s = -(-(tdma * c_in + ext) // 8) * 8
+    # the last strip reads p_half rows past its output rows; the bottom
+    # guard band (CHAIN_MAX_ROWS + 8 rows) covers it, like the C-major
+    # kernel's overrun
+    assert CHAIN_GUARD + grid_h * strip + p_half <= hg, \
+        (grid_h, strip, hg)
+
+    # bottom-mirror strips: staged window [s*rows - p_half, +tdma) crosses
+    # valid row h while still producing output rows < h; th is the
+    # (static) t-row-block of valid row h inside that window
+    bot_strips = tuple(
+        (s, h - s * rows + p_half)
+        for s in range(grid_h * hsub)
+        if s * rows < h and s * rows - p_half + tdma > h)
+
+    wb = _hiw_band_weights(w, k, c_in, c_out, g, xt.dtype)
+
+    n_slots = 4 if fuse_n else 2
+    kern = functools.partial(
+        _conv_kernel_hiw, k=k, rows=rows, hsub=hsub, wp=wp, c_in=c_in,
+        c_out=c_out, g=g, out_dtype=xt.dtype, has_bias=bias is not None,
+        act=act, p_half=p_half, halo_hw=(h, w_valid),
+        bot_strips=bot_strips, fuse_n=fuse_n, ext=ext)
+    operands = [xt, wb]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if bias is not None:
+        # bias tiled over the g rows of each group: (g*c_out, 1)
+        bt = jnp.tile(jnp.asarray(bias, jnp.float32), g).reshape(
+            g * c_out, 1)
+        operands.append(bt)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM((n_slots, tdma_s, wp), xt.dtype),
+               pltpu.VMEM((2, rows * c_out, wp), xt.dtype),
+               pltpu.SemaphoreType.DMA((n_slots,)),
+               pltpu.SemaphoreType.DMA((2,))]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b_out, hg * c_out, wp), xt.dtype),
+        grid=(b_out, grid_h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)

@@ -159,3 +159,151 @@ def spatial_forward(model, variables, img1, img2, mesh=None,
         in_specs=(P(), P(None, axis_name), P(None, axis_name)),
         out_specs=P(None, axis_name), check_vma=False)
     return shard(variables, img1, img2)
+
+
+def spatial_forward_multiscale(model, variables, img1, img2, mesh=None,
+                               axis_name="data"):
+    """Height-shard a multi-scale / global-fusion model over the mesh
+    (SURVEY §2.3 SP row; VERDICT r3 item #7) — the multi-chip analogue of
+    parallel/tiling.py's two-phase forward:
+
+    1. *sharded encode* (shard_map): each device takes its input slab
+       plus a ppermute halo exchange of TILED_MULTISCALE's encode halo,
+       runs the encoder, crops to its owned rows — producing per-scale
+       feature pyramids sharded over H.
+    2. *global fusion* (GSPMD): the model's fusion runs under plain jit
+       on the H-sharded pyramids; XLA inserts the cross-device
+       reductions for the global attention statistics (psum over ICI)
+       rather than the code hand-gathering anything.
+    3. *sharded decode* (shard_map): per-scale ppermute halo exchanges of
+       the decode halo, then the decoder on each device's halo-padded
+       slices; `tile_rows_ctx` threads the absolute geometry into
+       bilinear upsampling so the sharded result matches the
+       single-device forward.
+
+    Exact parity with `model.apply` at mesh-divisible, 8-aligned slab
+    heights (tests/test_spatial.py)."""
+    import numpy as np
+
+    from ..ops.layers import tile_rows_ctx
+    from .mesh import make_mesh
+    from .tiling import TILED_MULTISCALE
+
+    name = type(model).__name__.lower()
+    if name not in TILED_MULTISCALE:
+        raise ValueError(
+            f"model '{name}' has no multi-scale spatial-shard geometry; "
+            f"known: {sorted(TILED_MULTISCALE)}")
+    enc_rh, dec_rh = TILED_MULTISCALE[name]
+    if mesh is None:
+        mesh = make_mesh()
+    n = int(np.prod(mesh.shape[axis_name]))
+    if n == 1:
+        return model.apply(variables, img1, img2, train=False)
+    b, h, w, _ = img1.shape
+    if h % n:
+        raise ValueError(f"H={h} not divisible by mesh size {n}; pad the "
+                         f"input (cli pad_bucket) or use fewer devices")
+    s = h // n
+    if s % 8:
+        raise ValueError(f"shard height {s} must be a multiple of 8 "
+                         f"(scale/pool alignment)")
+    if s < max(enc_rh, dec_rh):
+        raise ValueError(
+            f"shard height {s} < receptive halo "
+            f"{max(enc_rh, dec_rh)}: use fewer devices for H={h}")
+
+    up_perm = [(i, i + 1) for i in range(n - 1)]
+    down_perm = [(i + 1, i) for i in range(n - 1)]
+
+    def exchange(blk, r):
+        top_ctx = jax.lax.ppermute(blk[:, -r:], axis_name, up_perm)
+        bot_ctx = jax.lax.ppermute(blk[:, :r], axis_name, down_perm)
+        return jnp.concatenate([top_ctx, blk, bot_ctx], axis=1)
+
+    # ---- phase A: sharded encode (siamese fold over the batch axis)
+    def enc_local(v, b1, b2):
+        x = jnp.concatenate([b1, b2], axis=0)
+        x = exchange(x, enc_rh)                 # (2B, S + 2R, W, C)
+        idx = jax.lax.axis_index(axis_name)
+
+        def crop(feats, slab_h, lo):
+            return jax.tree.map(
+                lambda f: jax.lax.dynamic_slice_in_dim(
+                    f, lo * f.shape[1] // slab_h,
+                    s * f.shape[1] // slab_h, axis=1),
+                feats)
+
+        def run(a, lo_abs, slab_h, lo):
+            with tile_rows_ctx(lo_abs, slab_h, h):
+                feats = model.apply(v, a, False, method="encoder")
+            return crop(feats, slab_h, lo)
+
+        def top(a):
+            return run(a[:, enc_rh:], 0, s + enc_rh, 0)
+
+        def mid(a):
+            return run(a, idx * s - enc_rh, s + 2 * enc_rh, enc_rh)
+
+        def bot(a):
+            return run(a[:, :s + enc_rh], h - (s + enc_rh), s + enc_rh,
+                       enc_rh)
+
+        branch = jnp.where(idx == 0, 0, jnp.where(idx == n - 1, 2, 1))
+        return jax.lax.switch(branch, (top, mid, bot), x)
+
+    feats = jax.shard_map(
+        enc_local, mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(None, axis_name)),
+        out_specs=P(None, axis_name), check_vma=False)(
+            variables, img1, img2)
+
+    # ---- phase B: global fusion under GSPMD (H-sharded pyramids in,
+    # XLA inserts the global-pooling collectives)
+    feats1 = jax.tree.map(lambda f: f[:b], feats)
+    feats2 = jax.tree.map(lambda f: f[b:], feats)
+    fused = jax.jit(
+        lambda v, f1, f2: model.apply(v, f1, f2, method="fusion"))(
+            variables, feats1, feats2)
+
+    # ---- phase C: sharded decode with per-scale halo exchanges
+    def dec_local(v, fused):
+        idx = jax.lax.axis_index(axis_name)
+        # exchange dec_rh full-res rows' worth at each scale: local leaf
+        # height is s // sc, so the halo is dec_rh // sc rows
+        padded = jax.tree.map(
+            lambda f: exchange(f, dec_rh // (s // f.shape[1])), fused)
+
+        def run(parts, lo_abs, slab_h, lo):
+            with tile_rows_ctx(lo_abs, slab_h, h):
+                y = model.apply(v, parts, False, method="decoder")
+            return y[:, lo:lo + s]
+
+        def sl(feats, lo_rows, len_rows):
+            # slice [lo_rows, lo_rows + len_rows) full-res rows from the
+            # (s + 2*dec_rh)-row padded slabs, per scale
+            def leaf(f):
+                sc = (s + 2 * dec_rh) // f.shape[1]
+                return jax.lax.dynamic_slice_in_dim(
+                    f, lo_rows // sc, len_rows // sc, axis=1)
+            return jax.tree.map(leaf, feats)
+
+        def top(p):
+            # drop the zero-filled top ctx: true boundary reflect exact
+            return run(sl(p, dec_rh, s + dec_rh), 0, s + dec_rh, 0)
+
+        def mid(p):
+            return run(sl(p, 0, s + 2 * dec_rh), idx * s - dec_rh,
+                       s + 2 * dec_rh, dec_rh)
+
+        def bot(p):
+            return run(sl(p, 0, s + dec_rh), h - (s + dec_rh),
+                       s + dec_rh, dec_rh)
+
+        branch = jnp.where(idx == 0, 0, jnp.where(idx == n - 1, 2, 1))
+        return jax.lax.switch(branch, (top, mid, bot), padded)
+
+    return jax.shard_map(
+        dec_local, mesh=mesh,
+        in_specs=(P(), jax.tree.map(lambda _: P(None, axis_name), fused)),
+        out_specs=P(None, axis_name), check_vma=False)(variables, fused)

@@ -221,3 +221,35 @@ def test_rejects_indivisible_height_and_thin_shards():
     img1, img2 = _pair(64, 48)  # S=8 < R=12
     with pytest.raises(ValueError, match="receptive halo"):
         spatial_forward(model, variables, img1, img2, mesh=mesh)
+
+
+# --- multi-scale spatial sharding (VERDICT r3 item #7) ---------------------
+
+@pytest.mark.parametrize("name,h", [("nestfuse", 128), ("mafusion", 128),
+                                    ("unfusion", 192)])
+def test_multiscale_spatial_parity_4dev(name, h):
+    """Two-phase sharded forward (encode shards + GSPMD global fusion +
+    decode shards with per-scale ppermute halos) == single device, for
+    the multi-scale models spatial_forward rejects."""
+    from multi_modal_image_fusion_tpu.parallel.spatial import \
+        spatial_forward_multiscale
+
+    img1, img2 = _pair(h, 80)
+    model, variables = _init(name, img1, img2)
+    want = model.apply(variables, img1, img2, train=False)
+    mesh = make_mesh(jax.devices()[:4])
+    got = spatial_forward_multiscale(model, variables, img1, img2,
+                                     mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multiscale_spatial_rejects():
+    from multi_modal_image_fusion_tpu.parallel.spatial import \
+        spatial_forward_multiscale
+
+    img1, img2 = _pair(64, 32)
+    model, variables = _init("deepfuse", img1, img2)
+    with pytest.raises(ValueError, match="multi-scale"):
+        spatial_forward_multiscale(model, variables, img1, img2,
+                                   mesh=make_mesh(jax.devices()[:2]))

@@ -109,6 +109,20 @@ def main():
         def fwd(a, b):
             return model.apply(variables, a, b, train=False)
 
+    # BENCH_INT8=1: post-training int8 inference (ops/quant.py) — calibrate
+    # per-layer activation amax on a small slice (random data; the point is
+    # the kernel path, not the statistics), then run the timed region under
+    # quantized_inference so eligible convs hit the int8 MXU kernel.
+    qctx = None
+    if os.environ.get("BENCH_INT8"):
+        from multi_modal_image_fusion_tpu.ops.quant import (
+            calibrate, quantized_inference)
+
+        amax = calibrate(model, variables,
+                         [(x1[:1, :256, :256].astype(dtype),
+                           x2[:1, :256, :256].astype(dtype))])
+        qctx = quantized_inference(amax)
+
     @functools.partial(jax.jit, static_argnames="n")
     def bench_loop(a, b, n):
         def body(i, carry):
@@ -119,7 +133,8 @@ def main():
             return a, s + m.astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, (a, jnp.float32(0.0)))
 
-    with fast_inference():
+    import contextlib
+    with fast_inference(), (qctx or contextlib.nullcontext()):
         # compile + warmup (result discarded)
         out = bench_loop(x1.astype(dtype), x2, iters)
         float(out[1])

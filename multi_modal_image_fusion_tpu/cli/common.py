@@ -164,6 +164,12 @@ def get_test_parser():
                         "noted at runtime). For single-pair latency or "
                         "beyond-HBM resolutions; stride-1 local-fusion "
                         "models only. 0/1 = off")
+    _bool_flag(p, "int8", False,
+               "post-training int8 inference (ops/quant.py): calibrate "
+               "per-layer activation scales on a few test images, then "
+               "run eligible convs as int8 MXU dots with f32 dequant "
+               "epilogues. Accuracy contract: SSIM/Qabf within 1e-3 of "
+               "the bf16 path (tools/int8_acceptance.py)")
     p.add_argument("--tiles", default=0, type=int,
                    help="single-chip height tiling: run the forward in N "
                         "sequential height slabs (parallel/tiling.py), "

@@ -40,14 +40,21 @@ def make_infer_fn(model, variables, spatial=0, tiles=0):
     elif spatial and spatial > 1:
         # height-sharded fused forward: one pair across `spatial` chips
         # (parallel/spatial.py — exact parity with the single-device
-        # forward; latency axis the reference's batch-DP cannot touch)
+        # forward; latency axis the reference's batch-DP cannot touch).
+        # Multi-scale models route through the two-phase sharded path.
         from ..parallel.mesh import make_mesh
-        from ..parallel.spatial import spatial_forward
+        from ..parallel.spatial import (spatial_forward,
+                                        spatial_forward_multiscale)
+        from ..parallel.tiling import TILED_MULTISCALE
 
         mesh = make_mesh(jax.devices()[:spatial])
+        multiscale = type(model).__name__.lower() in TILED_MULTISCALE
 
         @jax.jit
         def fuse(img1, img2):
+            if multiscale:
+                return spatial_forward_multiscale(model, variables, img1,
+                                                  img2, mesh=mesh)
             return spatial_forward(model, variables, img1, img2,
                                    mesh=mesh)
     else:
@@ -76,6 +83,10 @@ def test_model(model, variables, dataset, save_dir=None, log_file=None,
     # additionally 8-row aligned); fold that into the pad-and-crop bucket
     # machinery (reflect pad, crop after)
     h_mult = spatial if spatial and spatial > 1 else 1
+    if h_mult > 1:
+        from ..parallel.tiling import TILED_MULTISCALE
+        if type(model).__name__.lower() in TILED_MULTISCALE:
+            h_mult *= 8          # multi-scale slabs are 8-row aligned
     if tiles and tiles > 1:
         h_mult = 8 * tiles
     noted_heights = set()
@@ -180,17 +191,36 @@ def main(argv=None):
         pad_bucket = 128 if jax.default_backend() == "tpu" else 0
     if args.spatial and args.spatial > 1:
         from ..parallel.spatial import check_spatial_eligible
-        check_spatial_eligible(model_name,
-                               getattr(model, "fusion_mode", None))
+        from ..parallel.tiling import TILED_MULTISCALE
+        if model_name.lower() not in TILED_MULTISCALE:
+            check_spatial_eligible(model_name,
+                                   getattr(model, "fusion_mode", None))
         if len(jax.devices()) < args.spatial:
             raise ValueError(
                 f"--spatial {args.spatial} needs that many devices, "
                 f"have {len(jax.devices())}")
+    import contextlib
+    qctx = contextlib.nullcontext()
+    if getattr(args, "int8", False):
+        from ..ops.quant import calibrate, quantized_inference
+
+        cal = []
+        for i in range(min(4, len(dataset))):
+            a, b = dataset[i]
+            cal.append((jnp.asarray(a)[None, ..., None],
+                        jnp.asarray(b)[None, ..., None]))
+        amax = calibrate(model, variables, cal)
+        print(f"int8: calibrated {len(amax)} conv layers on {len(cal)} "
+              f"image pairs")
+        qctx = quantized_inference(amax)
     try:
-        ssim, avg_time = test_model(model, variables, dataset, save_dir,
-                                    log_file, pad_bucket=pad_bucket,
-                                    fast=args.fast, spatial=args.spatial,
-                                    tiles=args.tiles)
+        with qctx:
+            ssim, avg_time = test_model(model, variables, dataset,
+                                        save_dir, log_file,
+                                        pad_bucket=pad_bucket,
+                                        fast=args.fast,
+                                        spatial=args.spatial,
+                                        tiles=args.tiles)
         line = (f"ssim: {ssim:.4f}, time: {avg_time * 1000:.3f}ms, "
                 f"fps: {1.0 / avg_time:.3f}")
         print(line)

@@ -64,6 +64,12 @@ def chain_ready():
 
     MMIF_CHAIN_INTERPRET=1 forces the chain on any backend with the
     kernels in interpret mode — CPU model-level parity tests only."""
+    from .quant import quant_ctx
+    if quant_ctx() is not None:
+        # int8 inference replaces convs at the NHWC dispatch point
+        # (ops/quant.py); the bf16 chain fast paths must step aside so
+        # every conv reaches it
+        return False
     if os.environ.get("MMIF_CHAIN_INTERPRET"):
         return _FAST_INFERENCE.get()
     return (_FAST_INFERENCE.get()
@@ -494,12 +500,68 @@ class ConvLayer(nn.Module):
             pre = make_norm(self.pre_norm, x.shape[-1], name="pre_norm")
             x = apply_norm(pre, x, train)
 
+        if self.is_mutable_collection("quant_stats"):
+            # int8 calibration pass (ops/quant.py): record this layer's
+            # per-input-channel max-abs, max-reduced across batches (the
+            # scales are folded into the weights at inference —
+            # conv_int8.fold_input_scales)
+            c = x.shape[-1]
+            self.sow("quant_stats", "in_amax",
+                     jnp.max(jnp.abs(x), axis=(0, 1, 2)),
+                     init_fn=lambda: jnp.zeros((c,), jnp.float32),
+                     reduce_fn=jnp.maximum)
+
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel", kernel_init_for(self.act),
             (self.ksize, self.ksize, in_ch // self.groups, self.out_ch))
         b = self.param("bias", nn.initializers.zeros,
                        (self.out_ch,)) if bias else None
+
+        from .quant import quant_ctx
+        qc = quant_ctx()
+        if (qc is not None and not train and not self.transpose
+                and self.stride == 1 and self.groups == 1
+                and self.dilation == 1 and pad == self.ksize // 2
+                and not os.environ.get("MMIF_NO_PALLAS")
+                and (jax.default_backend() == "tpu"
+                     or os.environ.get("MMIF_CHAIN_INTERPRET"))):
+            # int8 inference (ops/quant.py): symmetric max-abs weights
+            # per-output-channel, activations per-tensor with the
+            # calibrated static amax (dynamic-max fallback when this
+            # layer wasn't calibrated); int8 x int8 -> int32 MXU dot with
+            # an f32 dequant + bias + act epilogue
+            from .pallas.conv_int8 import (choose_fold, conv_tlane_dma_q,
+                                           fold_weights,
+                                           quantize_input_scaled,
+                                           quantize_weights)
+
+            if pad:
+                x = pad2d(x, pad, self.pad_mode)
+            a_in = qc.get("/".join(self.path))
+            if a_in is None:            # uncalibrated: dynamic per-channel
+                a_in = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+            f = choose_fold(a_in, kernel,
+                            mode=os.environ.get("MMIF_INT8_FOLD",
+                                                "smooth"))
+            qx = quantize_input_scaled(x, f)
+            qw, sw = quantize_weights(fold_weights(kernel, f))
+            fuse_q = self.norm is None and \
+                (self.act is None or self.act in _FUSABLE_ACTS)
+            y = conv_tlane_dma_q(
+                qx, qw, sw, self.ksize,
+                bias=b if fuse_q else None,
+                act=self.act if fuse_q else None,
+                out_dtype=x.dtype,
+                interpret=bool(os.environ.get("MMIF_CHAIN_INTERPRET")))
+            if fuse_q:
+                return y
+            if b is not None:
+                y = y + b.astype(y.dtype)
+            if self.norm is not None:
+                post = make_norm(self.norm, self.out_ch, name="norm")
+                y = apply_norm(post, y, train)
+            return get_act(self.act)(y)
 
         if not self.transpose:
             use_pallas = (_pallas_conv_eligible(in_ch, self.ksize,
@@ -539,7 +601,7 @@ class ConvLayer(nn.Module):
             else:
                 y = jax.lax.conv_general_dilated(
                     x,
-                    kernel,
+                    kernel.astype(x.dtype),
                     window_strides=(self.stride, self.stride),
                     padding="VALID",
                     rhs_dilation=(self.dilation, self.dilation),
@@ -555,7 +617,7 @@ class ConvLayer(nn.Module):
             hi = k - 1 - pad + op
             y = jax.lax.conv_general_dilated(
                 x,
-                jnp.flip(kernel, axis=(0, 1)),
+                jnp.flip(kernel, axis=(0, 1)).astype(x.dtype),
                 window_strides=(1, 1),
                 padding=((lo, hi), (lo, hi)),
                 lhs_dilation=(s, s),

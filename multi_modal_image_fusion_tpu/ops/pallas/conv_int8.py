@@ -43,13 +43,83 @@ def quantize_weights(w):
 
 
 def quantize_input(x, amax=None):
-    """NHWC float -> (int8, per-tensor scale). amax: optional calibrated
-    max-abs (static scalar); defaults to the dynamic max of x."""
+    """NHWC float -> (int8, scale). amax: optional calibrated max-abs —
+    a scalar (per-tensor) or a (C_in,) vector (per-channel). Defaults to
+    the dynamic per-channel max of x. A vector scale means per-channel
+    quantization: combine with `smooth_scales` so the weight side stays
+    scale-consistent."""
     if amax is None:
-        amax = jnp.max(jnp.abs(x))
+        amax = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    amax = jnp.asarray(amax, jnp.float32)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-    return q, jnp.asarray(scale, jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def choose_fold(amax, w, mode="smooth"):
+    """Per-input-channel quantization scale f_c for x, consistent with a
+    weight fold by the SAME f_c (the int dot's per-channel scales must
+    cancel: qx=x/f_c, w_fold=w*f_c, then the per-output-channel weight
+    quantizer absorbs the rest and the combined dequant scale is just
+    sw[c_out]).
+
+    The choice of f_c trades activation precision against folded-weight
+    channel spread. Post-relu feature channels span 100-1000x in range;
+    wherever that spread lands, that side's small channels quantize
+    poorly — and WEIGHT error is the dangerous kind, because it is
+    constant per tap and post-relu activations are non-negative, so it
+    adds coherently over the k*k*C_in taps (measured 30% layer error on
+    DeepFuse enc1 with a naive full fold). Activation rounding error is
+    data-dependent and averages out across taps.
+
+      mode='channel'  f_c = amax_c/127          max x precision, worst w
+      mode='tensor'   f_c = max_c amax_c/127    per-tensor x, exact w
+      mode='smooth'   f_c = beta*sqrt(amax_c/wmax_c)  (SmoothQuant-style
+                      alpha=0.5): folded weight channel max becomes
+                      beta*sqrt(amax_c*wmax_c) — both sides carry the
+                      square root of the spread. beta is the smallest
+                      value keeping every channel clip-free
+                      (f_c >= amax_c/127).
+
+    amax: (C_in,) calibrated activation max-abs. w: HWIO float weights.
+    Returns f (C_in,) f32; dead channels (amax==0 or wmax==0) get 1.0.
+    """
+    amax = jnp.asarray(amax, jnp.float32)
+    wmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 3))
+    live = (amax > 0) & (wmax > 0)
+    # dead channels (never-activating post-relu features are common, and
+    # amax==0 also happens when a channel is missing from calibration
+    # coverage) MUST fall back to the per-tensor scale, not 1.0: a large
+    # out-of-family fold factor would dominate the per-output-channel
+    # folded-weight max and crush every other channel's weight precision
+    # (measured: exactly this turned a 1.2% layer error into 34%).
+    g = jnp.max(amax) / 127.0
+    g = jnp.where(g > 0, g, 1.0)
+    if mode == "channel":
+        return jnp.where(amax > 0, amax / 127.0, g)
+    if mode == "tensor":
+        return jnp.full_like(amax, g)
+    ratio = jnp.sqrt(amax / jnp.where(live, wmax, 1.0))
+    # no-clip: f_c >= amax_c/127  =>  beta >= sqrt(amax_c*wmax_c)/127
+    beta = jnp.max(jnp.where(live, jnp.sqrt(amax * wmax), 0.0)) / 127.0
+    f = beta * ratio
+    return jnp.where(live, f, g)
+
+
+def fold_weights(w, f):
+    """Fold the per-input-channel x-quant scales into the HWIO weights
+    (see choose_fold): returns w*f_c as f32, ready for quantize_weights."""
+    return w.astype(jnp.float32) * jnp.asarray(
+        f, jnp.float32).reshape(1, 1, -1, 1)
+
+
+def quantize_input_scaled(x, f):
+    """NHWC float -> int8 with an explicit per-channel scale f (C_in,)."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32)
+                           / jnp.asarray(f, jnp.float32)),
+                 -127, 127).astype(jnp.int8)
+    return q
 
 
 def _conv_kernel_q(*refs, k, rows, hsub, w_out, wp, tdma, c_in, c_out,

@@ -1,0 +1,99 @@
+"""Post-training int8 quantization: calibration + quantized inference.
+
+The reference has no quantization story; on TPU the MXU's int8 mode runs
+~2x the bf16 matmul rate (docs/PERFORMANCE.md round-3 Mosaic probe), so
+serving can trade <=1e-3 SSIM/Qabf (the BASELINE.json parity budget,
+enforced by tools/int8_acceptance.py) for throughput once the conv
+formulation is MXU-bound.
+
+Scheme: symmetric max-abs. Weights per-output-channel (static, from the
+checkpoint); activations per-INPUT-channel with CALIBRATED static amax
+vectors — the channel scales are folded into the weights before weight
+quantization (conv_int8.fold_input_scales), so the int8 dot needs no
+extra runtime work and the combined dequant scale stays per-output-
+channel. A dynamic per-batch max would force an extra full-tensor
+reduction pass per layer AND make latency data-dependent. Calibration
+runs a few batches through the f32/bf16 model with the `quant_stats`
+collection mutable; every ConvLayer sows its per-channel input max-abs
+(max-reduced across batches), keyed by the module path.
+
+Usage:
+    amax = calibrate(model, variables, [(img1, img2), ...])
+    with quantized_inference(amax):
+        y = model.apply(variables, img1, img2, train=False)   # on TPU
+
+Inside the context, eligible ConvLayers (stride-1, ungrouped,
+non-transpose, reflect-SAME) run ops/pallas/conv_int8.conv_tlane_dma_q:
+int8 x int8 -> int32 on the MXU with an f32 dequant + bias + act
+epilogue. Layers without a calibrated amax fall back to a dynamic max
+(correct, slower). The model-level chain fast paths disable themselves
+under the context (ops/layers.chain_ready) so every conv reaches the
+NHWC dispatch point.
+"""
+
+import contextvars
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["calibrate", "quantized_inference", "quant_ctx"]
+
+_QUANT_CTX = contextvars.ContextVar("mmif_quant", default=None)
+
+
+def quant_ctx():
+    """The active calibration dict (module-path -> amax) or None."""
+    return _QUANT_CTX.get()
+
+
+class quantized_inference:
+    """Context manager activating the int8 inference path.
+
+    amax: {"enc0": 1.7, ...} module-path keys as produced by
+    `calibrate` ("/"-joined flax paths). An empty dict is allowed —
+    every layer then uses a dynamic per-batch max.
+    """
+
+    def __init__(self, amax=None):
+        self.amax = dict(amax or {})
+
+    def __enter__(self):
+        self._tok = _QUANT_CTX.set(self.amax)
+        return self
+
+    def __exit__(self, *exc):
+        _QUANT_CTX.reset(self._tok)
+        return False
+
+
+def calibrate(model, variables, batches):
+    """Per-ConvLayer, per-input-channel max-abs over calibration batches.
+
+    batches: iterable of (img1, img2) arrays (or single-image tuples for
+    AE mode). Returns {"path/to/layer": (C_in,) float32 ndarray} — static
+    host-side constants, so the inference fold (conv_int8.
+    fold_input_scales) traces as a constant op."""
+    import numpy as np
+
+    amax = {}
+    for batch in batches:
+        _, upd = model.apply(variables, *batch, train=False,
+                             mutable=["quant_stats"])
+        flat = _flatten(upd.get("quant_stats", {}))
+        for k, v in flat.items():
+            v = np.asarray(v, np.float32)
+            amax[k] = np.maximum(amax[k], v) if k in amax else v
+    return amax
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            # sow leaf: drop the trailing value name ('in_amax')
+            path = prefix if k == "in_amax" else prefix + (k,)
+            val = v[0] if isinstance(v, tuple) else v
+            out["/".join(path)] = jnp.asarray(val)
+    return out

@@ -1,0 +1,98 @@
+"""int8 acceptance harness (VERDICT r3 item #5): the quantized path must
+stay within the reference parity budget — SSIM and Qabf within 1e-3 of
+the bf16 path (BASELINE.json) — measured on the bundled reference sample
+pairs, model by model.
+
+For each model: run the bf16 forward and the int8 forward (calibrated on
+the same pairs), compute SSIM(out, inputs-average convention of
+test.py) and Qabf for both, and report the deltas. Exit nonzero if any
+delta exceeds the budget.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+           python tools/int8_acceptance.py [model ...]
+env: H/W (default: the native sample size), LIMIT (pairs, default 4)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+BUDGET = 1e-3
+DEFAULT_MODELS = ["deepfuse", "densefuse", "vifnet", "ifcnn", "difnet"]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_image_fusion_tpu.data.dataset import FusionDataset
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops.layers import fast_inference
+    from multi_modal_image_fusion_tpu.ops.metrics import calc_Qabf, \
+        calc_ssim
+    from multi_modal_image_fusion_tpu.ops.quant import (
+        calibrate, quantized_inference)
+
+    models = sys.argv[1:] or DEFAULT_MODELS
+    limit = int(os.environ.get("LIMIT", "4"))
+
+    sample_root = os.environ.get(
+        "MMIF_SAMPLES", "/root/reference/data/samples/infrared")
+    ds = FusionDataset(sample_root, set_name="test", set_type="test",
+                       img_type="ir")
+    pairs = []
+    for i in range(min(limit, len(ds))):
+        a, b = ds[i]
+        pairs.append((jnp.asarray(a)[None, ..., None],
+                      jnp.asarray(b)[None, ..., None]))
+
+    failures = []
+    for name in models:
+        model = create_model(name)
+        variables = model.init(jax.random.PRNGKey(0), *pairs[0],
+                               train=False)
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+        variables = jax.tree.map(lambda p: p.astype(dtype), variables)
+        amax = calibrate(model, variables, pairs)
+
+        d_ssim = d_qabf = 0.0
+        for a, b in pairs:
+            with fast_inference():
+                base = model.apply(variables, a.astype(dtype),
+                                   b.astype(dtype), train=False)
+                with quantized_inference(amax):
+                    q = model.apply(variables, a.astype(dtype),
+                                    b.astype(dtype), train=False)
+            base = jnp.clip(base.astype(jnp.float32), 0, 1)
+            q = jnp.clip(q.astype(jnp.float32), 0, 1)
+
+            def scores(out):
+                s = 0.5 * (calc_ssim(a, out, data_range=1.0)
+                           + calc_ssim(b, out, data_range=1.0))
+                qa = calc_Qabf(a * 255, b * 255, out * 255)
+                return float(s), float(qa)
+
+            s0, q0 = scores(base)
+            s1, q1 = scores(q)
+            d_ssim = max(d_ssim, abs(s1 - s0))
+            d_qabf = max(d_qabf, abs(q1 - q0))
+
+        ok = d_ssim <= BUDGET and d_qabf <= BUDGET
+        print(f"{name:12s} dSSIM {d_ssim:.2e}  dQabf {d_qabf:.2e}  "
+              f"{'OK' if ok else 'OVER BUDGET'}", flush=True)
+        if not ok:
+            failures.append(name)
+
+    if failures:
+        print(f"int8 acceptance FAILED for: {', '.join(failures)}")
+        return 1
+    print("int8 acceptance OK (all deltas within 1e-3)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

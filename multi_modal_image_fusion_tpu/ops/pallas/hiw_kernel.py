@@ -139,13 +139,20 @@ def _conv_kernel_hiw(*refs, k, rows, hsub, wp, c_in, c_out, g, out_dtype,
     n_slots = 4 if fuse_n else 2
 
     def in_dma(slot, j, b_off=0):
-        start = (CHAIN_GUARD - p_half + h0 + j * rows) * c_in - ext
+        # 8-divisible by construction (`ext` absorbs the static residue;
+        # rows % 8 == 0 makes the dynamic part a multiple of 8 for ANY
+        # c_in) — Mosaic's divisibility analysis cannot prove it through
+        # the multiply-subtract, so assert it (the c_in==1 entry layer
+        # hit "tile index in dimension 1 is divisible by 8" without this)
+        start = pl.multiple_of(
+            (CHAIN_GUARD - p_half + h0 + j * rows) * c_in - ext, 8)
         return pltpu.make_async_copy(
             x_ref.at[b + b_off, pl.ds(start, tdma_s), :],
             t_ref.at[slot], in_sems.at[slot])
 
     def out_dma(slot, j):
-        start = (CHAIN_GUARD + h0 + j * rows) * c_out
+        # CHAIN_GUARD % 8 == 0 and (h0 + j*rows) % 8 == 0 => 8-divisible
+        start = pl.multiple_of((CHAIN_GUARD + h0 + j * rows) * c_out, 8)
         return pltpu.make_async_copy(
             stage_ref.at[slot],
             out_ref.at[b, pl.ds(start, rows * c_out), :],

@@ -77,6 +77,28 @@ def chain_ready():
             and jax.default_backend() == "tpu")
 
 
+def _dma_scratch_est(c_in, c_out, k, rows, wp_raw):
+    """Nominal VMEM bytes conv_tlane_dma will ask for (scratch_shapes +
+    resident weights + the kw-chunk dot temp), mirroring the kernel's
+    geometry (ops/pallas/conv_kernel.py:216-223). Wide layers (UNFusion's
+    1280-ch decode convs under height tiling) reach ~99 MiB against the
+    kernel's 100 MiB scoped limit and fail to compile — those must take
+    the XLA conv instead (respectable at c>=128, ~20 TF)."""
+    w_out128 = -(-(wp_raw - (k - 1)) // 128) * 128
+    wp = -(-(w_out128 + k - 1) // 128) * 128
+    tdma = -(-(rows + k - 1) // 8) * 8
+    t = 2 * c_in * tdma * wp * 2
+    a = k * c_in * rows * wp * 2
+    acc = c_out * rows * w_out128 * 4
+    stage = 2 * c_out * rows * w_out128 * 2
+    wm = (k * c_in) * (k * c_out) * 2
+    p = min(7, k) * c_out * rows * wp * 4
+    return t + a + acc + stage + wm + p
+
+
+_DMA_SCRATCH_BUDGET = 88 * 1024 * 1024
+
+
 def _pallas_conv_eligible(in_ch, ksize, stride, groups, dilation,
                           transpose):
     if not (_FAST_INFERENCE.get() or _FAST_TRAINING.get()) \
@@ -568,12 +590,17 @@ class ConvLayer(nn.Module):
                                                 self.stride, self.groups,
                                                 self.dilation, self.transpose)
                           and pad == self.ksize // 2)
+            if pad:
+                x = pad2d(x, pad, self.pad_mode)
+            dma_rows = 16 if in_ch <= 32 else 8
+            if use_pallas and _dma_scratch_est(
+                    in_ch, self.out_ch, self.ksize, dma_rows,
+                    x.shape[2]) > _DMA_SCRATCH_BUDGET:
+                use_pallas = False
             # bias + act fuse into the kernel epilogue when no post-norm
             # sits between them (saves one elementwise HBM round trip)
             fuse_ba = (use_pallas and self.norm is None
                        and (self.act is None or self.act in _FUSABLE_ACTS))
-            if pad:
-                x = pad2d(x, pad, self.pad_mode)
             fast_route = use_pallas and _FAST_TRAINING.get() and train
             if fast_route:
                 # differentiable kernel route: bias/norm/act stay as XLA
@@ -595,7 +622,7 @@ class ConvLayer(nn.Module):
                 y = conv_tlane_dma(x, kernel.astype(x.dtype), self.ksize,
                                    bias=b if fuse_ba else None,
                                    act=self.act if fuse_ba else None,
-                                   rows=16 if in_ch <= 32 else 8)
+                                   rows=dma_rows)
                 if fuse_ba:
                     return y
             else:

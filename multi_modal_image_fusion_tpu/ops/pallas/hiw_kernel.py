@@ -46,7 +46,7 @@ __all__ = ["hiw_enter", "hiw_exit", "conv_hiw_chain", "hiw_pick_g",
 
 # Default for the H-major halo-in-weights chain (flipped by the measured
 # TPU decision data, tools/r4_tpu_queue*.sh + tools/r3_autoflip.py style).
-HIW_DEFAULT = False
+HIW_DEFAULT = True
 
 
 def hiw_enabled():

@@ -99,6 +99,67 @@ def _dma_scratch_est(c_in, c_out, k, rows, wp_raw):
 _DMA_SCRATCH_BUDGET = 88 * 1024 * 1024
 
 
+def depthwise_conv_shifted(x, kernel, stride=1, dilation=1):
+    """Multiplier-1 depthwise conv as k^2 shifted multiply-accumulates.
+
+    XLA's grouped-conv lowering on TPU effectively densifies the
+    block-diagonal kernel, inflating the dw conv's work by ~C — the
+    MetaFormer-family blocks (reference core/block.py:154-352, dw convs
+    in SepConv/MixConv/Res2Conv) are why MyFusion ran at ~1% of its
+    FLOP roofline. As shifted MACs the op is k^2 fused VPU passes over
+    the map: same taps, same math (fp reassociation only).
+
+    x: (B, Hp, Wp, C) already padded; kernel: (k, k, 1, C) HWIO with
+    in_ch//groups == 1. Differentiable (slices + multiplies)."""
+    k = kernel.shape[0]
+    b, hp, wp, c = x.shape
+    eff = (k - 1) * dilation + 1
+    ho = (hp - eff) // stride + 1
+    wo = (wp - eff) // stride + 1
+    y = None
+    for th in range(k):
+        for tw in range(k):
+            xs = jax.lax.slice(
+                x, (0, th * dilation, tw * dilation, 0),
+                (b, th * dilation + (ho - 1) * stride + 1,
+                 tw * dilation + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1))
+            t = xs * kernel[th, tw, 0][None, None, None, :].astype(x.dtype)
+            y = t if y is None else y + t
+    return y
+
+
+def transpose_conv_s2(x, w):
+    """ConvTranspose2d(ksize=3, stride=2, padding=1, output_padding=1)
+    — torch semantics, out = 2*in — as four subpixel phase dots plus an
+    interleave (reference core/block.py:58-66 constructs it via
+    nn.ConvTranspose2d; SEDRFuse is the only user, core/model.py:260-263).
+
+    With the flipped kernel wf, the lhs-dilated formulation reads a
+    zero-stuffed input whose nonzeros sit at even offsets, so an output
+    pixel at subpixel parity (di, dj) only ever meets the wf taps of
+    that same parity: even->wf[1], odd->wf[0], wf[2] per axis. Each
+    phase is then a sum of shifted 1x1 dots over the ORIGINAL (dense)
+    input — MXU matmuls with no dilation scatter — interleaved back
+    2x2 subpixel-style. Exact same math as the lhs-dilated conv
+    (tests/test_layers.py parity), differentiable, any backend."""
+    b, h, wd, c = x.shape
+    wf = jnp.flip(w, axis=(0, 1)).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+
+    def dot(a, m):
+        return jnp.einsum("bhwc,cd->bhwd", a, m)
+
+    ee = dot(x, wf[1, 1])
+    eo = dot(x, wf[1, 0]) + dot(xp[:, :h, 1:], wf[1, 2])
+    oe = dot(x, wf[0, 1]) + dot(xp[:, 1:, :wd], wf[2, 1])
+    oo = (dot(x, wf[0, 0]) + dot(xp[:, :h, 1:], wf[0, 2])
+          + dot(xp[:, 1:, :wd], wf[2, 0]) + dot(xp[:, 1:, 1:], wf[2, 2]))
+    row_e = jnp.stack([ee, eo], axis=3).reshape(b, h, 2 * wd, -1)
+    row_o = jnp.stack([oe, oo], axis=3).reshape(b, h, 2 * wd, -1)
+    return jnp.stack([row_e, row_o], axis=2).reshape(b, 2 * h, 2 * wd, -1)
+
+
 def _pallas_conv_eligible(in_ch, ksize, stride, groups, dilation,
                           transpose):
     if not (_FAST_INFERENCE.get() or _FAST_TRAINING.get()) \
@@ -625,6 +686,10 @@ class ConvLayer(nn.Module):
                                    rows=dma_rows)
                 if fuse_ba:
                     return y
+            elif self.groups > 1 and self.groups == in_ch \
+                    and self.out_ch == in_ch:
+                y = depthwise_conv_shifted(x, kernel, stride=self.stride,
+                                           dilation=self.dilation)
             else:
                 y = jax.lax.conv_general_dilated(
                     x,
@@ -635,6 +700,16 @@ class ConvLayer(nn.Module):
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     feature_group_count=self.groups,
                 )
+        elif self.ksize == 3 and self.stride == 2 and pad == 1 \
+                and self.groups == 1:
+            # the zoo's only transpose config (SEDRFuse dec0/dec1,
+            # reference core/model.py:260-263): subpixel phase
+            # decomposition instead of a zero-stuffed lhs-dilated conv.
+            # out[2i+di, 2j+dj] only ever touches the flipped-kernel taps
+            # of parity (di, dj), so the transpose conv is exactly four
+            # shifted 1x1-dot phases interleaved back subpixel-style —
+            # all MXU matmuls, no dilation scatter.
+            y = transpose_conv_s2(x, kernel)
         else:
             # torch ConvTranspose2d(k, s, p, output_padding=1): out = in * s
             # == lhs-dilated conv with spatially flipped kernel and

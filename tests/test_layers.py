@@ -91,6 +91,26 @@ def test_transpose_conv_parity(golden):
                                d["deconv__out"], atol=2e-5, rtol=1e-4)
 
 
+def test_transpose_conv_subpixel_equivalence():
+    """The subpixel phase decomposition (layers.transpose_conv_s2) must
+    match the lhs-dilated formulation exactly (fp noise), including odd
+    spatial sizes (SEDRFuse decodes 306x256 and 612x512 at full res)."""
+    import jax.numpy as jnp
+
+    from multi_modal_image_fusion_tpu.ops.layers import transpose_conv_s2
+
+    r = np.random.RandomState(0)
+    for (h, w, ci, co) in [(13, 17, 8, 4), (9, 6, 5, 7)]:
+        x = jnp.asarray(r.rand(2, h, w, ci), np.float32)
+        k = jnp.asarray(r.rand(3, 3, ci, co) - 0.5, np.float32)
+        want = jax.lax.conv_general_dilated(
+            x, jnp.flip(k, axis=(0, 1)), (1, 1), ((1, 2), (1, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = transpose_conv_s2(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-6)
+
+
 def test_downsample_shape_repair(golden):
     d = golden("layers")
     x = nchw_to_nhwc(d["x"])          # (2, 21, 27, 8)

@@ -19,6 +19,18 @@ echo "=== $(date) train-step component breakdown (item #3 roofline data)"
 timeout 2400 python tools/profile_train_step.py
 echo "--- train profile exit: $?"
 
+echo "=== $(date) int8 acceptance harness (SSIM/Qabf <= 1e-3 budget; retry post dtype fix)"
+timeout 3600 python tools/int8_acceptance.py
+echo "--- int8 acceptance exit: $?"
+
+echo "=== $(date) sedrfuse hot-op probe (subpixel deconv, s2d stride-2)"
+timeout 3000 python tools/probe_sedr.py
+echo "--- probe_sedr exit: $?"
+
+echo "=== $(date) sedrfuse + myfusion redo (subpixel deconv, shifted dw conv)"
+timeout 7200 python tools/bench_zoo.py sedrfuse myfusion
+echo "--- sedr/my zoo exit: $?"
+
 echo "=== $(date) zoo heavy tail tiled redo (post vmem-guard)"
 timeout 21600 python tools/bench_zoo.py unfusion rfnnest nestfuse res2fusion mafusion
 echo "--- zoo tail exit: $?"

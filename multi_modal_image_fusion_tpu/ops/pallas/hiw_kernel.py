@@ -88,13 +88,37 @@ def hiw_exit(xt, h, w):
               CHAIN_WG:CHAIN_WG + w][..., None]
 
 
+# TPU-measured g per conv shape (tools/probe_hiw_g.py sweep; flipped by
+# tools/r4_autoflip_g.py). probe_hiw round-4 data already showed the
+# heuristic's g=4 losing to g=2 at the fattest DeepFuse layer
+# (dec0 32->32 k7: 74.5 vs 66.3 TF) — band FLOP inflation (g+k-1)/k
+# dominates the group-launch amortization once c_out is wide enough.
+HIW_G_TABLE = {
+    (32, 32, 7): 2,
+}
+
+
+def _hiw_g_ok(g, c_in, c_out, rows):
+    return (rows % g == 0 and (g * c_in) % 8 == 0
+            and (g * c_out) % 8 == 0)
+
+
 def hiw_pick_g(c_in, c_out, k, rows=16):
     """Output-row group size: g rows of C_out channels per dot. Bigger g
     amortizes the per-group dot launch but inflates band FLOPs by
     (g+k-1)/k and the dot N dim by g. Constraints: rows % g == 0 and the
-    group sublane offsets (g*C_in, g*C_out) land on 8-aligned rows."""
+    group sublane offsets (g*C_in, g*C_out) land on 8-aligned rows.
+    MMIF_HIW_G forces one g globally (probe sweeps); measured shapes come
+    from HIW_G_TABLE; the heuristic covers the rest."""
+    import os
+    force = os.environ.get("MMIF_HIW_G")
+    if force and _hiw_g_ok(int(force), c_in, c_out, rows):
+        return int(force)
+    g = HIW_G_TABLE.get((c_in, c_out, k))
+    if g is not None and _hiw_g_ok(g, c_in, c_out, rows):
+        return g
     for g in (4, 8, 16):
-        if rows % g == 0 and (g * c_in) % 8 == 0 and (g * c_out) % 8 == 0:
+        if _hiw_g_ok(g, c_in, c_out, rows):
             if g * max(c_out, c_in) >= 64:
                 return g
     return rows

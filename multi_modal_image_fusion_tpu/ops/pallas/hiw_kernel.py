@@ -41,8 +41,9 @@ from .conv_kernel import (CHAIN_GUARD, CHAIN_WG, _apply_act, _chain_dma_ok,
                           _chain_enter_gray, _chain_exit_gray, chain_shape,
                           _grayscale_fast_ok)
 
-__all__ = ["hiw_enter", "hiw_exit", "conv_hiw_chain", "hiw_pick_g",
-           "hiw_enabled"]
+__all__ = ["hiw_enter", "hiw_exit", "conv_hiw_chain",
+           "conv_hiw_chain_multi", "hiw_pick_g", "hiw_enabled",
+           "hiw_identity_weights"]
 
 # Default for the H-major halo-in-weights chain (flipped by the measured
 # TPU decision data, tools/r4_tpu_queue*.sh + tools/r3_autoflip.py style).
@@ -356,6 +357,279 @@ def conv_hiw_chain(xt, w, k, h, w_valid, c_in, bias=None, act=None, g=None,
         kern,
         out_shape=jax.ShapeDtypeStruct((b_out, hg * c_out, wp), xt.dtype),
         grid=(b_out, grid_h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Multi-leg H-major chain conv: concat-consuming convs without the concat
+# ---------------------------------------------------------------------------
+#
+# The H-major layout interleaves channels per row, so a channel concat of
+# two chain tensors is a strided shuffle — exactly the materialization the
+# layout was built to avoid. But a conv is linear in input channels:
+#   conv(concat(x_0..x_{n-1}), W) = sum_l conv(x_l, W[:, :, ofs_l:ofs_l+c_l])
+# so a conv whose input is a concat runs as one kernel with n input "legs",
+# each leg DMA-ing strips of its own (whole) tensor and contributing one
+# banded dot to the shared accumulator. The dense-growth families
+# (DenseFuse/VIFNet/PFNetv1, reference core/model.py:165-206, 69-111;
+# DenseBlock core/block.py:137-151), PMGI's cross-path concats
+# (model.py:555-624) and DIFNet's concat fusion (model.py:531-552) all
+# become leg lists over never-concatenated 16-ch tensors. Two bonus
+# identities ride the same mechanism:
+#  - residual add:  act(conv(z) + x) = act(conv2legs([z, x], [W, I_k]))
+#    with I_k the center-tap identity kernel (hiw_identity_weights) — the
+#    ResBlock add costs band-dot FLOPs instead of an XLA elementwise pass
+#    over three full-res tensors (DIFNet's 6 ResBlocks, model.py:531-552).
+#  - duplicated-input concat: PMGI's concat((i1, i1, i2)) entry folds to
+#    legs [i1, i2] with W[:, :, 0] + W[:, :, 1] on the first leg.
+
+
+def hiw_identity_weights(k, c, dtype=jnp.float32):
+    """HWIO (k, k, c, c) center-tap identity: conv(x, I) == x."""
+    eye = jnp.eye(c, dtype=dtype)
+    w = jnp.zeros((k, k, c, c), dtype)
+    return w.at[k // 2, k // 2].set(eye)
+
+
+def _conv_kernel_hiw_multi(*refs, k, rows, hsub, wp, c_ins, exts, b_offs,
+                           c_out, g, out_dtype, has_bias, act, p_half,
+                           halo_hw, bot_strips, fuse_n):
+    """Strip loop over `nl` input legs. Per leg l, t_refs[l] is the
+    (n_slots, tdma_s_l, wp) double-buffered strip window of xs[l] at batch
+    b + b_offs[l] (+ the fuse_n sibling pre-added); the group dot
+    accumulates one banded product per leg."""
+    nl = len(c_ins)
+    x_refs = refs[:nl]
+    wb_refs = refs[nl:2 * nl]
+    pos = 2 * nl
+    b_ref = refs[pos] if has_bias else None
+    pos += 1 if has_bias else 0
+    out_ref = refs[pos]
+    t_refs = refs[pos + 1:pos + 1 + nl]
+    stage_ref = refs[pos + 1 + nl]
+    in_sems = refs[pos + 2 + nl:pos + 2 + 2 * nl]
+    out_sems = refs[pos + 2 + 2 * nl]
+
+    b = pl.program_id(0)
+    gh = pl.program_id(1)
+    h0 = gh * rows * hsub
+    gk = g + k - 1
+
+    def in_dma(l, slot, j, b_extra=0):
+        c_in, ext = c_ins[l], exts[l]
+        start = pl.multiple_of(
+            (CHAIN_GUARD - p_half + h0 + j * rows) * c_in - ext, 8)
+        return pltpu.make_async_copy(
+            x_refs[l].at[b + b_offs[l] + b_extra,
+                         pl.ds(start, t_refs[l].shape[1]), :],
+            t_refs[l].at[slot], in_sems[l].at[slot])
+
+    def out_dma(slot, j):
+        start = pl.multiple_of((CHAIN_GUARD + h0 + j * rows) * c_out, 8)
+        return pltpu.make_async_copy(
+            stage_ref.at[slot],
+            out_ref.at[b, pl.ds(start, rows * c_out), :],
+            out_sems.at[slot])
+
+    for l in range(nl):
+        in_dma(l, 0, 0).start()
+        if fuse_n:
+            in_dma(l, 2, 0, fuse_n).start()
+
+    kw_order = [p_half] + [kw for kw in range(k) if kw != p_half]
+
+    def _mirror(l, slot, j):
+        """Reflect halo on leg l's staged strip (same geometry as the
+        single-leg kernel: row mirrors at the two H-boundary strips, lane
+        mirrors every strip)."""
+        c_in, ext = c_ins[l], exts[l]
+        t_ref = t_refs[l]
+        wv = halo_hw[1]
+        sgj = gh * hsub + j
+
+        @pl.when(sgj == 0)
+        def _():
+            for m in range(1, p_half + 1):
+                dst = ext + (p_half - m) * c_in
+                src = ext + (p_half + m) * c_in
+                t_ref[slot, dst:dst + c_in, :] = \
+                    t_ref[slot, src:src + c_in, :]
+        tdma = rows + k - 1
+        for s, th in bot_strips:
+            @pl.when(sgj == s)
+            def _(th=th):
+                for m in range(p_half):
+                    if th + m >= tdma:
+                        continue
+                    dst = ext + (th + m) * c_in
+                    src = ext + (th - 2 - m) * c_in
+                    t_ref[slot, dst:dst + c_in, :] = \
+                        t_ref[slot, src:src + c_in, :]
+        for jj in range(p_half):
+            la = CHAIN_WG - 1 - jj
+            t_ref[slot, :, la:la + 1] = \
+                t_ref[slot, :, CHAIN_WG + 1 + jj:CHAIN_WG + 2 + jj]
+            ra = CHAIN_WG + wv + jj
+            t_ref[slot, :, ra:ra + 1] = \
+                t_ref[slot, :, CHAIN_WG + wv - 2 - jj:CHAIN_WG + wv - 1 - jj]
+
+    def strip(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < hsub)
+        def _():
+            for l in range(nl):
+                in_dma(l, 1 - slot, j + 1).start()
+                if fuse_n:
+                    in_dma(l, 2 + (1 - slot), j + 1, fuse_n).start()
+
+        for l in range(nl):
+            in_dma(l, slot, j).wait()
+            if fuse_n:
+                in_dma(l, 2 + slot, j, fuse_n).wait()
+                t_refs[l][slot] = t_refs[l][slot] + t_refs[l][2 + slot]
+            if halo_hw is not None and k > 1:
+                _mirror(l, slot, j)
+
+        @pl.when(j >= 2)
+        def _():
+            out_dma(slot, j - 2).wait()
+
+        for i0 in range(0, rows, g):
+            p = None
+            for l in range(nl):
+                a = t_refs[l][slot,
+                              pl.ds(exts[l] + i0 * c_ins[l],
+                                    gk * c_ins[l]), :]
+                pi = jax.lax.dot_general(
+                    wb_refs[l][:, :], a, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                p = pi if p is None else p + pi
+            y = p[:g * c_out, :]
+            for jj in range(1, k):
+                sh = kw_order[jj] - p_half
+                y = y + jnp.roll(p[jj * g * c_out:(jj + 1) * g * c_out, :],
+                                 -sh, axis=-1)
+            if b_ref is not None:
+                y = y + b_ref[:, :]
+            stage_ref[slot, pl.ds(i0 * c_out, g * c_out)] = \
+                _apply_act(y, act).astype(out_dtype)
+
+        out_dma(slot, j).start()
+        return carry
+
+    jax.lax.fori_loop(0, hsub, strip, 0)
+    for tail in (hsub - 2, hsub - 1):
+        if tail >= 0:
+            out_dma(tail % 2, tail).wait()
+
+
+def hiw_multi_scratch_bytes(c_ins, c_out, k, h, w_valid, g=None, rows=16,
+                            fuse_n=0, esz=2):
+    """Nominal VMEM bytes of a conv_hiw_chain_multi call (t strips +
+    stage + f32 dot temps + bands), for integration-side gating."""
+    from .conv_kernel import chain_shape
+    _, wp = chain_shape(h, w_valid)
+    if g is None:
+        g = hiw_pick_g(sum(c_ins), c_out, k, rows)
+    gk = g + k - 1
+    tdma = rows + k - 1
+    n_slots = 4 if fuse_n else 2
+    t = sum(n_slots * (-(-(tdma * c + 7 if c % 8 else tdma * c) // 8) * 8)
+            * wp * esz for c in c_ins)
+    stage = 2 * rows * c_out * wp * esz
+    p = (k * g * c_out + 2 * g * c_out) * wp * 4
+    wb = sum(gk * c * k * g * c_out * esz for c in c_ins)
+    return t + stage + p + wb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "h", "w_valid", "c_ins", "b_offs",
+                                    "n_out", "act", "g", "rows", "hsub",
+                                    "fuse_n", "interpret"))
+def conv_hiw_chain_multi(xts, w, k, h, w_valid, c_ins, b_offs, n_out,
+                         bias=None, act=None, g=None, rows=16, hsub=None,
+                         fuse_n=0, interpret=False):
+    """Concat-consuming H-major chain conv over input legs.
+
+    xts: tuple of H-major chain tensors (B_l, HG * c_ins[l], Wp), same
+    (HG, Wp) geometry; leg l reads batch entry `b + b_offs[l]`. w is HWIO
+    (k, k, sum(c_ins), c_out) with input channels in leg-concat order.
+    Output: (n_out, HG * c_out, Wp). fuse_n: every leg pre-adds its
+    sibling at b_offs[l] + fuse_n (siamese 'sum' fusion in the DMA)."""
+    nl = len(xts)
+    assert nl == len(c_ins) == len(b_offs)
+    hgc0, wp = xts[0].shape[1], xts[0].shape[2]
+    hg = hgc0 // c_ins[0]
+    for xt, c in zip(xts, c_ins):
+        assert xt.shape[1] == hg * c and xt.shape[2] == wp, \
+            (xt.shape, c, hg, wp)
+    c_out = w.shape[-1]
+    assert w.shape[2] == sum(c_ins)
+    p_half = k // 2
+    assert p_half <= CHAIN_WG and p_half <= CHAIN_GUARD
+    assert rows % 8 == 0
+    if g is None:
+        g = hiw_pick_g(sum(c_ins), c_out, k, rows)
+    assert rows % g == 0 and (g * c_out) % 8 == 0, (rows, g, c_out)
+    h8 = -(-h // 8) * 8
+    if hsub is None:
+        hsub = -(-h8 // rows)
+    strip = rows * hsub
+    grid_h = -(-h8 // strip)
+    tdma = rows + k - 1
+    exts = []
+    for c in c_ins:
+        if c % 8:
+            start0 = (CHAIN_GUARD - p_half) * c
+            exts.append(start0 - (start0 // 8) * 8)
+        else:
+            exts.append(0)
+    assert CHAIN_GUARD + grid_h * strip + p_half <= hg, (grid_h, strip, hg)
+
+    bot_strips = tuple(
+        (s, h - s * rows + p_half)
+        for s in range(grid_h * hsub)
+        if s * rows < h and s * rows - p_half + tdma > h)
+
+    dtype = xts[0].dtype
+    wbs, ofs = [], 0
+    for c in c_ins:
+        wbs.append(_hiw_band_weights(w[:, :, ofs:ofs + c], k, c, c_out, g,
+                                     dtype))
+        ofs += c
+
+    n_slots = 4 if fuse_n else 2
+    kern = functools.partial(
+        _conv_kernel_hiw_multi, k=k, rows=rows, hsub=hsub, wp=wp,
+        c_ins=tuple(c_ins), exts=tuple(exts), b_offs=tuple(b_offs),
+        c_out=c_out, g=g, out_dtype=dtype, has_bias=bias is not None,
+        act=act, p_half=p_half, halo_hw=(h, w_valid),
+        bot_strips=bot_strips, fuse_n=fuse_n)
+    operands = list(xts) + wbs
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.HBM)] * nl
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * nl)
+    if bias is not None:
+        bt = jnp.tile(jnp.asarray(bias, jnp.float32), g).reshape(
+            g * c_out, 1)
+        operands.append(bt)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM(
+        (n_slots, -(-(tdma * c + e) // 8) * 8, wp), dtype)
+        for c, e in zip(c_ins, exts)]
+    scratch += [pltpu.VMEM((2, rows * c_out, wp), dtype)]
+    scratch += [pltpu.SemaphoreType.DMA((n_slots,)) for _ in range(nl)]
+    scratch += [pltpu.SemaphoreType.DMA((2,))]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_out, hg * c_out, wp), dtype),
+        grid=(n_out, grid_h),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,

@@ -125,3 +125,124 @@ def test_deepfuse_hiw_path_parity(monkeypatch):
         got = model.apply(variables, img1, img2, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# multi-leg (concat-consuming) kernel
+# ---------------------------------------------------------------------------
+
+from multi_modal_image_fusion_tpu.ops.pallas.hiw_kernel import (  # noqa: E402
+    conv_hiw_chain_multi, hiw_identity_weights)
+
+
+def test_hiw_multi_dense_concat():
+    """conv(concat(x0, y1, y2)) as three legs == XLA on the concat
+    (DenseBlock growth, reference core/block.py:137-151)."""
+    r = np.random.RandomState(4)
+    h, w = 40, 96
+    x0 = jnp.asarray(r.rand(2, h, w, 16) - 0.5, jnp.float32)
+    y1 = jnp.asarray(r.rand(2, h, w, 16) - 0.5, jnp.float32)
+    y2 = jnp.asarray(r.rand(2, h, w, 8) - 0.5, jnp.float32)
+    wgt = jnp.asarray(r.rand(3, 3, 40, 16) - 0.5, jnp.float32)
+    bias = jnp.asarray(r.rand(16) - 0.5, jnp.float32)
+    want = _ref_conv(jnp.concatenate([x0, y1, y2], -1), wgt, bias, "relu")
+    got = conv_hiw_chain_multi(
+        (_to_hmajor(x0), _to_hmajor(y1), _to_hmajor(y2)), wgt, 3, h=h,
+        w_valid=w, c_ins=(16, 16, 8), b_offs=(0, 0, 0), n_out=2, bias=bias,
+        act="relu", interpret=True)
+    got = _from_hmajor(got, h, w, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hiw_multi_cross_batch_concat():
+    """concat fusion across siamese batch halves via b_offs
+    (VIFNet/PFNetv1 decoder entry, reference core/model.py:189-206)."""
+    r = np.random.RandomState(5)
+    h, w = 33, 61
+    x = jnp.asarray(r.rand(4, h, w, 16) - 0.5, jnp.float32)
+    wgt = jnp.asarray(r.rand(3, 3, 32, 24) - 0.5, jnp.float32)
+    want = _ref_conv(jnp.concatenate([x[:2], x[2:]], -1), wgt, act="relu")
+    t = _to_hmajor(x)
+    got = conv_hiw_chain_multi(
+        (t, t), wgt, 3, h=h, w_valid=w, c_ins=(16, 16), b_offs=(0, 2),
+        n_out=2, act="relu", interpret=True)
+    got = _from_hmajor(got, h, w, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hiw_multi_fused_sum_legs():
+    """Dense legs + siamese-sum fusion in the DMA (DenseFuse dec0:
+    conv(concat-parts of feat1 + feat2), reference model.py:165-186)."""
+    r = np.random.RandomState(6)
+    h, w = 32, 64
+    x0 = jnp.asarray(r.rand(4, h, w, 16) - 0.5, jnp.float32)
+    y1 = jnp.asarray(r.rand(4, h, w, 16) - 0.5, jnp.float32)
+    wgt = jnp.asarray(r.rand(3, 3, 32, 16) - 0.5, jnp.float32)
+    f1 = jnp.concatenate([x0[:2], y1[:2]], -1)
+    f2 = jnp.concatenate([x0[2:], y1[2:]], -1)
+    want = _ref_conv(f1 + f2, wgt, act="relu")
+    got = conv_hiw_chain_multi(
+        (_to_hmajor(x0), _to_hmajor(y1)), wgt, 3, h=h, w_valid=w,
+        c_ins=(16, 16), b_offs=(0, 0), n_out=2, act="relu", fuse_n=2,
+        interpret=True)
+    got = _from_hmajor(got, h, w, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hiw_multi_identity_leg_residual():
+    """act(conv(z) + x) as [z, x] legs with an identity-kernel second leg
+    (ResBlock adds without an XLA elementwise pass, model.py:531-552)."""
+    r = np.random.RandomState(7)
+    h, w = 40, 96
+    z = jnp.asarray(r.rand(2, h, w, 16) - 0.5, jnp.float32)
+    x = jnp.asarray(r.rand(2, h, w, 16) - 0.5, jnp.float32)
+    wgt = jnp.asarray(r.rand(3, 3, 16, 16) - 0.5, jnp.float32)
+    want = jax.nn.relu(_ref_conv(z, wgt) + x)
+    wcat = jnp.concatenate([wgt, hiw_identity_weights(3, 16)], axis=2)
+    got = conv_hiw_chain_multi(
+        (_to_hmajor(z), _to_hmajor(x)), wcat, 3, h=h, w_valid=w,
+        c_ins=(16, 16), b_offs=(0, 0), n_out=2, act="relu", interpret=True)
+    got = _from_hmajor(got, h, w, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hiw_multi_k1_transfer():
+    """k=1 channel matmul over legs (PMGI transfer convs,
+    model.py:555-624): no halos, no rolls."""
+    r = np.random.RandomState(8)
+    h, w = 24, 40
+    a = jnp.asarray(r.rand(2, h, w, 16) - 0.5, jnp.float32)
+    b = jnp.asarray(r.rand(2, h, w, 16) - 0.5, jnp.float32)
+    wgt = jnp.asarray(r.rand(1, 1, 32, 16) - 0.5, jnp.float32)
+    bias = jnp.asarray(r.rand(16) - 0.5, jnp.float32)
+    want = _ref_conv(jnp.concatenate([a, b], -1), wgt, bias, "relu")
+    got = conv_hiw_chain_multi(
+        (_to_hmajor(a), _to_hmajor(b)), wgt, 1, h=h, w_valid=w,
+        c_ins=(16, 16), b_offs=(0, 0), n_out=2, bias=bias, act="relu",
+        interpret=True)
+    got = _from_hmajor(got, h, w, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hiw_multi_gray_legs():
+    """1-channel legs with folded duplicate weights (PMGI entry
+    concat((i1, i1, i2)) -> legs [i1, i2], model.py:614-624)."""
+    r = np.random.RandomState(9)
+    h, w = 40, 96
+    i1 = jnp.asarray(r.rand(2, h, w, 1), jnp.float32)
+    i2 = jnp.asarray(r.rand(2, h, w, 1), jnp.float32)
+    wgt = jnp.asarray(r.rand(5, 5, 3, 16) - 0.5, jnp.float32)
+    want = _ref_conv(jnp.concatenate([i1, i1, i2], -1), wgt, act="relu")
+    wfold = jnp.concatenate(
+        [wgt[:, :, 0:1] + wgt[:, :, 1:2], wgt[:, :, 2:3]], axis=2)
+    got = conv_hiw_chain_multi(
+        (hiw_enter(i1), hiw_enter(i2)), wfold, 5, h=h, w_valid=w,
+        c_ins=(1, 1), b_offs=(0, 0), n_out=2, act="relu", interpret=True)
+    got = _from_hmajor(got, h, w, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -78,6 +78,65 @@ class _FusionModel(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# H-major halo-in-weights chain helpers (round 4, ops/pallas/hiw_kernel.py)
+# ---------------------------------------------------------------------------
+# Concat-free zoo paths: a ConvLayer is deferred into its folded
+# (kernel, bias, k, act) tuple (chain_defer_in_ch) and run through the
+# H-major kernels; channel concats become leg lists, residual adds become
+# identity-kernel legs. The hot op this reforms is every model's ConvLayer
+# (reference core/block.py:26-118).
+
+
+def _hiw_interp():
+    import os
+    return bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+
+
+def _hiw_conv(t, params, c_in, h, w, fuse_n=0):
+    """Single-leg H-major conv from a deferred ConvLayer param tuple."""
+    from ..ops.pallas.hiw_kernel import conv_hiw_chain
+    wgt, bias, k, act = params
+    return conv_hiw_chain(t, wgt, k, h=h, w_valid=w, c_in=c_in, bias=bias,
+                          act=act, fuse_n=fuse_n, interpret=_hiw_interp())
+
+
+def _hiw_mconv(legs, params, h, w, n_out, fuse_n=0):
+    """Multi-leg H-major conv: legs = [(tensor, c_in, b_off), ...] in the
+    reference's channel-concat order."""
+    from ..ops.pallas.hiw_kernel import conv_hiw_chain_multi
+    wgt, bias, k, act = params
+    return conv_hiw_chain_multi(
+        tuple(t for t, _, _ in legs), wgt, k, h=h, w_valid=w,
+        c_ins=tuple(c for _, c, _ in legs),
+        b_offs=tuple(b for _, _, b in legs), n_out=n_out, bias=bias,
+        act=act, fuse_n=fuse_n, interpret=_hiw_interp())
+
+
+def _hiw_resblock(rb_params, t, c, h, w, n_out):
+    """ResBlock (conv -> conv -> + identity, block.py:121-134) with the
+    residual add riding the second conv as an identity-kernel leg."""
+    from ..ops.pallas.hiw_kernel import hiw_identity_weights
+    p1, (w2, b2, k2, a2) = rb_params
+    y = _hiw_conv(t, p1, c, h, w)
+    wcat = jnp.concatenate([w2, hiw_identity_weights(k2, c, w2.dtype)],
+                           axis=2)
+    return _hiw_mconv([(y, c, 0), (t, c, 0)], (wcat, b2, k2, a2), h, w,
+                      n_out=n_out)
+
+
+def _hiw_dense_legs(gray, conv_in, dense, h, w, n_out):
+    """conv_in(1->16) + DenseBlock growth as a 4-leg list
+    (block.py:137-151): [x0, y1, y2, y3], never concatenated."""
+    x0 = _hiw_conv(gray, conv_in(None, chain_hw=(h, w),
+                                 chain_defer_in_ch=1), 1, h, w)
+    legs = [(x0, 16, 0)]
+    for p in dense(None, chain_hw=(h, w),
+                   chain_defer_in_chs=(16, 32, 48)):
+        legs.append((_hiw_mconv(legs, p, h, w, n_out=n_out), 16, 0))
+    return legs
+
+
+# ---------------------------------------------------------------------------
 # 1. polarization / intensity fusion
 # ---------------------------------------------------------------------------
 
@@ -93,6 +152,29 @@ class PFNetv1(nn.Module):
         # channel concat): the two unshared encoders each run in the chain
         chain = not train and chain_ready()
         if chain:
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("pfnetv1"):
+                # H-major chain: each unshared encoder yields 4 dense
+                # legs; the 128-ch concat fusion is the 8-leg decode0
+                # (reference model.py:69-111)
+                from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
+
+                n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+                legs = []
+                for img, tag in ((img1, "1"), (img2, "2")):
+                    legs += _hiw_dense_legs(
+                        hiw_enter(img), ConvLayer(16, name=f"conv_in_{tag}"),
+                        DenseBlock(16, name=f"dense_{tag}"), h, w, n)
+                feat, cin = None, 128
+                for i, (ch, act) in enumerate([(128, "relu"), (64, "relu"),
+                                               (32, "relu"), (16, "relu"),
+                                               (1, None)]):
+                    p = ConvLayer(ch, act=act, name=f"decode{i}")(
+                        None, chain_hw=(h, w), chain_defer_in_ch=cin)
+                    feat = (_hiw_mconv(legs, p, h, w, n_out=n) if i == 0
+                            else _hiw_conv(feat, p, cin, h, w))
+                    cin = ch
+                return hiw_exit(feat, h, w)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             h, w = img1.shape[1], img1.shape[2]
@@ -388,6 +470,10 @@ class DenseFuse(_FusionModel):
 
         if (img2 is not None and not train and chain_ready()
                 and self.fusion_mode in ("sum", "l1")):
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if (hiw_multi_enabled("densefuse")
+                    and self.fusion_mode == "sum"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
@@ -405,6 +491,24 @@ class DenseFuse(_FusionModel):
                 t = layer(t, train=False, chain_hw=(h, w))
             return chain_exit(t, h, w)
         return super().__call__(img1, img2, train)
+
+    def _hiw_forward(self, img1, img2):
+        """H-major halo-in-weights chain: dense growth as leg lists, the
+        siamese 'sum' fusion folded into dec0's input DMA (reference
+        topology model.py:165-186)."""
+        from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
+
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+        t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+        legs = _hiw_dense_legs(t, self.conv_in, self.dense, h, w, 2 * n)
+
+        def dfr(layer, c):
+            return layer(None, chain_hw=(h, w), chain_defer_in_ch=c)
+
+        t = _hiw_mconv(legs, dfr(self.dec[0], 64), h, w, n_out=n, fuse_n=n)
+        for layer, c in zip(self.dec[1:], (64, 32, 16)):
+            t = _hiw_conv(t, dfr(layer, c), c, h, w)
+        return hiw_exit(t, h, w)
 
 
 class VIFNet(_FusionModel):
@@ -436,6 +540,9 @@ class VIFNet(_FusionModel):
         from ..ops.layers import chain_ready
 
         if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("vifnet"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
@@ -447,6 +554,26 @@ class VIFNet(_FusionModel):
                 t = layer(t, train=False, chain_hw=(h, w))
             return chain_exit(t, h, w)
         return super().__call__(img1, img2, train)
+
+    def _hiw_forward(self, img1, img2):
+        """H-major chain: dense legs; the 128-ch concat fusion becomes
+        the same 4 legs read at both batch halves (b_offs 0 and n) by
+        dec0 (reference model.py:189-206)."""
+        from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
+
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+        t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+        legs = _hiw_dense_legs(t, self.conv_in, self.dense, h, w, 2 * n)
+        legs = ([(t_, c, 0) for t_, c, _ in legs]
+                + [(t_, c, n) for t_, c, _ in legs])
+
+        def dfr(layer, c):
+            return layer(None, chain_hw=(h, w), chain_defer_in_ch=c)
+
+        t = _hiw_mconv(legs, dfr(self.dec[0], 128), h, w, n_out=n)
+        for layer, c in zip(self.dec[1:], (128, 64, 32, 16)):
+            t = _hiw_conv(t, dfr(layer, c), c, h, w)
+        return hiw_exit(t, h, w)
 
 
 class DBNet(_FusionModel):
@@ -882,6 +1009,9 @@ class IFCNN(_FusionModel):
         # chain fast path: eval-mode BN folds into the convs, max fusion
         # is elementwise, dec1 is a k1 channel matmul
         if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("ifcnn"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
@@ -893,6 +1023,24 @@ class IFCNN(_FusionModel):
                 t = layer(t, train=False, chain_hw=(h, w))
             return chain_exit(t, h, w)
         return super().__call__(img1, img2, train)
+
+    def _hiw_forward(self, img1, img2):
+        """H-major chain: folded-BN convs, elementwise max fusion on the
+        flat chain tensors, k1 head (reference model.py:514-528)."""
+        from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
+
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+
+        def dfr(layer, c):
+            return layer(None, chain_hw=(h, w), chain_defer_in_ch=c)
+
+        t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+        t = _hiw_conv(t, dfr(self.enc[0], 1), 1, h, w)
+        t = _hiw_conv(t, dfr(self.enc[1], 64), 64, h, w)
+        t = element_fusion(t[:n], t[n:], "max")
+        t = _hiw_conv(t, dfr(self.dec[0], 64), 64, h, w)
+        t = _hiw_conv(t, dfr(self.dec[1], 64), 64, h, w)
+        return hiw_exit(t, h, w)
 
 
 class DIFNet(_FusionModel):
@@ -931,6 +1079,9 @@ class DIFNet(_FusionModel):
         from ..ops.layers import chain_ready
 
         if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("difnet"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
@@ -947,6 +1098,33 @@ class DIFNet(_FusionModel):
         feat1 = self.encoder(img1, train)
         feat2 = self.encoder(img2, train)
         return self.decoder(self.fusion(feat1, feat2, train), train)
+
+    def _hiw_forward(self, img1, img2):
+        """H-major chain: the 6 ResBlock residual adds ride their second
+        convs as identity-kernel legs; the learned concat fusion is a
+        2-leg conv across batch halves (reference model.py:531-552)."""
+        from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
+
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+
+        def dfr(layer, c):
+            return layer(None, chain_hw=(h, w), chain_defer_in_ch=c)
+
+        def rb(block, t, n_out):
+            return _hiw_resblock(
+                block(None, chain_hw=(h, w), chain_defer_in_ch=16),
+                t, 16, h, w, n_out)
+
+        t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+        t = _hiw_conv(t, dfr(self.enc[0], 1), 1, h, w)
+        for block in self.enc[1:]:
+            t = rb(block, t, 2 * n)
+        t = _hiw_mconv([(t, 16, 0), (t, 16, n)], dfr(self.fuse, 32),
+                       h, w, n_out=n)
+        for block in self.dec[:-1]:
+            t = rb(block, t, n)
+        t = _hiw_conv(t, dfr(self.dec[-1], 16), 16, h, w)
+        return hiw_exit(t, h, w)
 
 
 class PMGI(nn.Module):
@@ -993,6 +1171,9 @@ class PMGI(nn.Module):
         # paths run NCHW-resident end to end.
         chain = not train and chain_ready()
         if chain:
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("pmgi"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             h, w = img1.shape[1], img1.shape[2]
@@ -1036,6 +1217,51 @@ class PMGI(nn.Module):
         if chain:
             return chain_exit(out, h, w)
         return out
+
+    def _hiw_forward(self, img1, img2):
+        """H-major chain: every cross-path concat is a leg list; the
+        stacked entries concat((i,i,j)) fold to two gray legs with summed
+        duplicate weights (reference model.py:555-624; the dead
+        transfer1[1] still materializes params, quirk at model.py:591)."""
+        from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
+
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+        g1, g2 = hiw_enter(img1), hiw_enter(img2)
+
+        def dfr(layer, c):
+            return layer(None, chain_hw=(h, w), chain_defer_in_ch=c)
+
+        def entry(params, ga, gb):
+            wgt, bias, k, act = params
+            wf = jnp.concatenate(
+                [wgt[:, :, 0:1] + wgt[:, :, 1:2], wgt[:, :, 2:3]], axis=2)
+            return _hiw_mconv([(ga, 1, 0), (gb, 1, 0)],
+                              (wf, bias, k, act), h, w, n_out=n)
+
+        def sconv(t, layer):
+            return _hiw_conv(t, dfr(layer, 16), 16, h, w)
+
+        def mconv(tensors, layer):
+            legs = [(t, 16, 0) for t in tensors]
+            return _hiw_mconv(legs, dfr(layer, 16 * len(legs)), h, w,
+                              n_out=n)
+
+        f0_1 = entry(dfr(self.gradient[0], 3), g1, g2)
+        f0_2 = entry(dfr(self.intensity[0], 3), g2, g1)
+        f1_1 = sconv(f0_1, self.gradient[1])
+        f1_2 = sconv(f0_2, self.intensity[1])
+        f1_conv1 = mconv((f1_1, f1_2), self.transfer1[0])
+        f1_conv2 = mconv((f1_1, f1_2), self.transfer2[1])
+        dfr(self.transfer1[1], 32)  # dead layer's params (model.py:591)
+        f2_1 = mconv((f0_1, f1_1, f1_conv1), self.gradient[2])
+        f2_2 = mconv((f0_2, f1_2, f1_conv2), self.intensity[2])
+        f2_conv1 = mconv((f2_1, f2_2), self.transfer2[0])
+        f2_conv2 = mconv((f2_1, f2_2), self.transfer2[1])
+        f3_1 = mconv((f0_1, f1_1, f2_1, f2_conv1), self.gradient[3])
+        f3_2 = mconv((f0_2, f1_2, f2_2, f2_conv2), self.intensity[3])
+        out = mconv((f0_1, f0_2, f1_1, f1_2, f2_1, f2_2, f3_1, f3_2),
+                    self.decode)
+        return hiw_exit(out / 2.0 + 0.5, h, w)
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,19 @@ class ResBlock(nn.Module):
     norm2: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train=False, chain_hw=None):
+    def __call__(self, x, train=False, chain_hw=None,
+                 chain_defer_in_ch=None):
+        if chain_defer_in_ch is not None:
+            # H-major chain mode: hand back both convs' folded
+            # (kernel, bias, k, act); the caller runs conv1 single-leg and
+            # conv2 as [y, x] legs with an identity-kernel residual leg
+            # (hiw_kernel.conv_hiw_chain_multi)
+            p1 = ConvLayer(self.out_ch, norm=self.norm1)(
+                None, chain_hw=chain_hw,
+                chain_defer_in_ch=chain_defer_in_ch)
+            p2 = ConvLayer(self.out_ch, norm=self.norm2, act=None)(
+                None, chain_hw=chain_hw, chain_defer_in_ch=self.out_ch)
+            return p1, p2
         y = ConvLayer(self.out_ch, norm=self.norm1)(x, train,
                                                     chain_hw=chain_hw)
         y = ConvLayer(self.out_ch, norm=self.norm2, act=None)(
@@ -59,7 +71,16 @@ class DenseBlock(nn.Module):
     num_convs: int = 3
 
     @nn.compact
-    def __call__(self, x, train=False, chain_hw=None):
+    def __call__(self, x, train=False, chain_hw=None,
+                 chain_defer_in_chs=None):
+        if chain_defer_in_chs is not None:
+            # H-major chain mode: folded (kernel, bias, k, act) per conv;
+            # the caller grows a leg list instead of concatenating
+            # (hiw_kernel.conv_hiw_chain_multi)
+            return [ConvLayer(self.out_ch, name=f"conv{i}")(
+                None, chain_hw=chain_hw,
+                chain_defer_in_ch=chain_defer_in_chs[i])
+                for i in range(self.num_convs)]
         # chain mode: x is a guard-layout (B, C, HG, Wp) tensor, channel
         # concat moves to axis 1 (ops/pallas/conv_kernel chain layout)
         for i in range(self.num_convs):

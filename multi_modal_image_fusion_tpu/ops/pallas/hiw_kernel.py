@@ -59,6 +59,27 @@ def hiw_enabled():
     return HIW_DEFAULT
 
 
+# Default for the multi-leg H-major zoo paths (DenseFuse/VIFNet/PFNetv1/
+# IFCNN/DIFNet/PMGI). Flipped per measured TPU parity + timing
+# (tools/probe_hiw_zoo.py + tools/r4_autoflip_multi.py), r4_autoflip style.
+HIW_MULTI_DEFAULT = False
+# Models the TPU sweep measured SLOWER on the multi-leg path (autoflip
+# writes losers here; MMIF_CHAIN_HIW_MULTI=1 still force-enables them).
+HIW_MULTI_BLOCKLIST = ()
+
+
+def hiw_multi_enabled(model=None):
+    """MMIF_CHAIN_HIW_MULTI: '1'/'0' force; unset/'auto' ->
+    HIW_MULTI_DEFAULT minus the measured blocklist."""
+    import os
+    v = os.environ.get("MMIF_CHAIN_HIW_MULTI", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    if model is not None and model in HIW_MULTI_BLOCKLIST:
+        return False
+    return HIW_MULTI_DEFAULT
+
+
 def hiw_enter(x):
     """NHWC grayscale (B, H, W, 1) -> H-major chain tensor (B, HG, Wp).
 
@@ -222,6 +243,15 @@ def _conv_kernel_hiw(*refs, k, rows, hsub, wp, c_in, c_out, g, out_dtype,
                     src = ext + (th - 2 - m) * c_in
                     t_ref[slot, dst:dst + c_in, :] = \
                         t_ref[slot, src:src + c_in, :]
+                # rows past the mirrors feed ONLY >= h (garbage) output
+                # rows — but they still ride the contraction under the
+                # band ZEROS, and 0 * NaN/Inf = NaN poisons the last
+                # valid group's dot when uninitialized HBM decodes to a
+                # non-finite. Zero-fill them (one static vector store).
+                z0 = ext + min(th + p_half, tdma) * c_in
+                if z0 < t_ref.shape[1]:
+                    t_ref[slot, z0:, :] = jnp.zeros_like(
+                        t_ref[slot, z0:, :])
         for jj in range(p_half):
             la = CHAIN_WG - 1 - jj
             t_ref[slot, :, la:la + 1] = \
@@ -471,6 +501,14 @@ def _conv_kernel_hiw_multi(*refs, k, rows, hsub, wp, c_ins, exts, b_offs,
                     src = ext + (th - 2 - m) * c_in
                     t_ref[slot, dst:dst + c_in, :] = \
                         t_ref[slot, src:src + c_in, :]
+                # zero-fill past the mirrors: those rows feed only >= h
+                # (garbage) outputs but still ride the contraction under
+                # the band zeros, and 0 * NaN/Inf = NaN poisons the last
+                # valid group when uninitialized HBM is non-finite
+                z0 = ext + min(th + p_half, tdma) * c_in
+                if z0 < t_ref.shape[1]:
+                    t_ref[slot, z0:, :] = jnp.zeros_like(
+                        t_ref[slot, z0:, :])
         for jj in range(p_half):
             la = CHAIN_WG - 1 - jj
             t_ref[slot, :, la:la + 1] = \
@@ -494,7 +532,10 @@ def _conv_kernel_hiw_multi(*refs, k, rows, hsub, wp, c_ins, exts, b_offs,
             if fuse_n:
                 in_dma(l, 2 + slot, j, fuse_n).wait()
                 t_refs[l][slot] = t_refs[l][slot] + t_refs[l][2 + slot]
-            if halo_hw is not None and k > 1:
+            if halo_hw is not None:
+                # k == 1 has no halos to mirror, but _mirror's bot-strip
+                # zero-fill must still run: a k1 group spanning past h
+                # contracts zero-weighted uninitialized rows (0 * NaN)
                 _mirror(l, slot, j)
 
         @pl.when(j >= 2)

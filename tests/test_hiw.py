@@ -246,3 +246,25 @@ def test_hiw_multi_gray_legs():
     got = _from_hmajor(got, h, w, 16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", [
+    "densefuse", "vifnet", "pfnetv1", "ifcnn", "difnet", "pmgi"])
+def test_model_hiw_path_parity(name, monkeypatch):
+    """Whole-model forwards through the multi-leg H-major chain
+    (MMIF_CHAIN_HIW=1, interpret kernels) == the plain NHWC forwards."""
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops import layers as L
+
+    monkeypatch.setenv("MMIF_CHAIN_INTERPRET", "1")
+    monkeypatch.setenv("MMIF_CHAIN_HIW_MULTI", "1")
+    r = np.random.RandomState(10)
+    img1 = jnp.asarray(r.rand(2, 41, 61, 1), jnp.float32)
+    img2 = jnp.asarray(r.rand(2, 41, 61, 1), jnp.float32)
+    model = create_model(name)
+    variables = model.init(jax.random.PRNGKey(0), img1, img2, train=False)
+    want = model.apply(variables, img1, img2, train=False)
+    with L.fast_inference():
+        got = model.apply(variables, img1, img2, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -687,7 +687,12 @@ class ConvLayer(nn.Module):
                 if fuse_ba:
                     return y
             elif self.groups > 1 and self.groups == in_ch \
-                    and self.out_ch == in_ch:
+                    and self.out_ch == in_ch \
+                    and os.environ.get("MMIF_DW_SHIFTED", "1") != "0":
+                # MMIF_DW_SHIFTED=0 reverts to XLA's grouped conv (A/B
+                # measurement: the shifted form went in on a per-op
+                # argument but the myfusion e2e number moved 16.1 -> 10.6
+                # in the same window — tools/r4_tpu_queue8.sh decides)
                 y = depthwise_conv_shifted(x, kernel, stride=self.stride,
                                            dilation=self.dilation)
             else:
@@ -701,7 +706,8 @@ class ConvLayer(nn.Module):
                     feature_group_count=self.groups,
                 )
         elif self.ksize == 3 and self.stride == 2 and pad == 1 \
-                and self.groups == 1:
+                and self.groups == 1 \
+                and os.environ.get("MMIF_SUBPIXEL_DECONV", "1") != "0":
             # the zoo's only transpose config (SEDRFuse dec0/dec1,
             # reference core/model.py:260-263): subpixel phase
             # decomposition instead of a zero-stuffed lhs-dilated conv.

@@ -180,9 +180,11 @@ def main_train():
     model = create_model(model_name)
     schedule = make_lr_schedule(1e-4, steps_per_epoch=1000, num_epochs=12)
     # BENCH_FAST_TRAIN=1 routes the convs through the differentiable Pallas
-    # kernel (ops/pallas/conv_vjp)
+    # kernel (ops/pallas/conv_vjp); BENCH_AMP=bf16 runs the model compute
+    # in bf16 with f32 master params/loss/Adam (train/trainer.py amp)
     trainer = Trainer(model, schedule,
-                      fast=bool(os.environ.get("BENCH_FAST_TRAIN")))
+                      fast=bool(os.environ.get("BENCH_FAST_TRAIN")),
+                      amp=os.environ.get("BENCH_AMP") or None)
 
     r = np.random.RandomState(0)
     img1 = jnp.asarray(r.rand(batch, size, size, 1), jnp.float32)

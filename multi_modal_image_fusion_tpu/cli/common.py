@@ -105,6 +105,16 @@ def get_train_parser():
                         "192-201) when one image's activations exceed a "
                         "chip — pair with --no-use_patches --no-fix_size. "
                         "Norm-free stride-1 models only; 0/1 = off")
+    p.add_argument("--amp", default=None, choices=["bf16"],
+                   help="mixed-precision train compute: f32 master params "
+                        "cast to bf16 at the model boundary (MXU-native); "
+                        "loss stack and Adam moments stay f32 "
+                        "(train/trainer.py). Validation stays f32.")
+    p.add_argument("--steps_per_dispatch", default=1, type=int,
+                   help="chain K train steps into one device dispatch "
+                        "(lax.scan over K stacked batches): amortizes "
+                        "per-call runtime overhead at the reference's "
+                        "small 64x64-patch config (Trainer.train_steps)")
     p.add_argument("--model_cfg", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="model constructor overrides, repeatable — e.g. "

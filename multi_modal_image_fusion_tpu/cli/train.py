@@ -35,8 +35,40 @@ from .common import (dataset_layout, get_train_parser, parse_model_cfg,
                      resolve_data_dir, save_result)
 
 
+def _scan_chunks(feeder, k):
+    """Group consecutive same-shape train batches into stacked (K, B, ...)
+    super-batches for Trainer.train_steps; odd-shaped stragglers (the last
+    partial batch) flush as singleton chunks."""
+    import numpy as np
+
+    def shape_of(item):
+        parts = item if isinstance(item, (tuple, list)) else (item,)
+        return tuple(getattr(p, "shape", None) for p in parts)
+
+    buf = []
+    for item in feeder:
+        if buf and shape_of(item) != shape_of(buf[0]):
+            yield buf
+            buf = []
+        buf.append(item)
+        if len(buf) == k:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def _stack_batches(items):
+    import numpy as np
+    if isinstance(items[0], (tuple, list)):
+        return tuple(np.stack([np.asarray(it[i]) for it in items])
+                     for i in range(len(items[0])))
+    return np.stack([np.asarray(it) for it in items])
+
+
 def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
-              save_dir=None, log_interval=10, schedule=None):
+              save_dir=None, log_interval=10, schedule=None,
+              steps_per_dispatch=1):
     """One train/valid epoch. Loss scalars stay on device between log
     points (a host fetch costs a full dispatch round-trip; the reference's
     per-iter `.item()` syncs, train.py:98, are the same trap on GPU) — the
@@ -49,24 +81,50 @@ def run_epoch(trainer, state, feeder, epoch, mode, logger, writer,
     loss_sum = None
     n_total = 0
 
-    for it, item in enumerate(feeder):
-        if getattr(feeder, "with_mask", False):
-            # masked valid batches: wrap-padded samples are excluded from
-            # the loss, n counts only true samples — exact partial-batch
-            # averaging (reference train.py:82-90)
-            batch, mask, n = item
-            parts, imgf = trainer.valid_step(state, batch, mask)
-        elif mode == "train":
-            batch = item
-            n = (batch[0] if isinstance(batch, (tuple, list))
-                 else batch).shape[0]
-            state, parts, imgf = trainer.train_step(state, batch)
-        else:
-            batch = item
-            n = (batch[0] if isinstance(batch, (tuple, list))
-                 else batch).shape[0]
-            parts, imgf = trainer.valid_step(state, batch)
-        last = (batch, imgf)
+    def _n_of(batch):
+        return (batch[0] if isinstance(batch, (tuple, list))
+                else batch).shape[0]
+
+    def iter_steps():
+        nonlocal state
+        if mode == "train" and steps_per_dispatch > 1 \
+                and not getattr(feeder, "with_mask", False):
+            # K chained steps per dispatch (Trainer.train_steps): per-step
+            # loss parts come back stacked (K,), so logging/accounting
+            # below is per logical step, exactly as unchained
+            for items in _scan_chunks(feeder, steps_per_dispatch):
+                if len(items) == 1:
+                    batch = items[0]
+                    state, parts, imgf = trainer.train_step(state, batch)
+                    yield batch, _n_of(batch), parts, imgf
+                    continue
+                stacked = _stack_batches(items)
+                state, parts, imgf = trainer.train_steps(state, stacked)
+                for i, batch in enumerate(items):
+                    yield (batch, _n_of(batch),
+                           jax.tree.map(lambda p, i=i: p[i], parts),
+                           imgf if i == len(items) - 1 else None)
+            return
+        for item in feeder:
+            if getattr(feeder, "with_mask", False):
+                # masked valid batches: wrap-padded samples are excluded
+                # from the loss, n counts only true samples — exact
+                # partial-batch averaging (reference train.py:82-90)
+                batch, mask, n = item
+                parts, imgf = trainer.valid_step(state, batch, mask)
+            elif mode == "train":
+                batch = item
+                n = _n_of(batch)
+                state, parts, imgf = trainer.train_step(state, batch)
+            else:
+                batch = item
+                n = _n_of(batch)
+                parts, imgf = trainer.valid_step(state, batch)
+            yield batch, n, parts, imgf
+
+    for it, (batch, n, parts, imgf) in enumerate(iter_steps()):
+        if imgf is not None:
+            last = (batch, imgf)
 
         contrib = parts["loss"] * n       # lazy, stays on device
         loss_sum = contrib if loss_sum is None else loss_sum + contrib
@@ -228,7 +286,7 @@ def main(argv=None):
     trainer = Trainer(model, schedule, bundle,
                       clip_grad=5.0 if args.clip_grad else None, mesh=mesh,
                       ae=args.ae, fast=args.fast_train,
-                      spatial=args.spatial)
+                      spatial=args.spatial, amp=args.amp)
 
     sample = next(iter(valid_feeder))[0]
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample)
@@ -300,9 +358,19 @@ def main(argv=None):
             logger.info("-" * 16)
             train_feeder.set_epoch(epoch)
 
-            state, train_loss = run_epoch(trainer, state, train_feeder,
-                                          epoch, "train", logger, writer,
-                                          train_dir, schedule=schedule)
+            spd = args.steps_per_dispatch
+            if spd > 1 and jax.devices()[0].platform == "cpu":
+                # XLA:CPU executes while-loop (scan) bodies without the
+                # top-level intra-op thread pool — a chained step runs
+                # ~2 orders slower than dispatched steps on CPU
+                if epoch == start_epoch:
+                    logger.info("steps_per_dispatch>1 is a TPU "
+                                "optimization; forcing 1 on CPU")
+                spd = 1
+            state, train_loss = run_epoch(
+                trainer, state, train_feeder, epoch, "train", logger,
+                writer, train_dir, schedule=schedule,
+                steps_per_dispatch=spd)
             state, valid_loss = run_epoch(trainer, state, valid_feeder,
                                           epoch, "valid", logger, writer,
                                           valid_dir)

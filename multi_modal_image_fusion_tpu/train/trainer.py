@@ -64,9 +64,14 @@ class Trainer:
 
     def __init__(self, model, lr_schedule, loss_bundle=None, clip_grad=5.0,
                  betas=(0.9, 0.999), mesh=None, ae=False, fast=False,
-                 spatial=0):
+                 spatial=0, amp=None):
         self.model = model
         self.ae = ae
+        # amp='bf16': mixed-precision train compute — f32 master params
+        # cast to bf16 at the model boundary (MXU-native), loss stack and
+        # Adam moments stay f32. Valid steps stay f32 end to end.
+        assert amp in (None, "bf16"), amp
+        self.amp = amp
         # spatial>1: height-shard each image over the mesh instead of
         # sharding the batch — full-resolution training without the
         # reference's 256-crop escape hatch (train.py:192-201), exact
@@ -106,6 +111,8 @@ class Trainer:
         self.tx = optax.chain(*txs)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._train_multi = jax.jit(self._train_multi_impl,
+                                    donate_argnums=0)
         self._valid_step = jax.jit(self._valid_step_impl)
 
     # -- state ------------------------------------------------------------
@@ -141,6 +148,21 @@ class Trainer:
 
     # -- steps ------------------------------------------------------------
     def _apply(self, params, batch_stats, img1, img2, train):
+        if train and self.amp == "bf16":
+            bf = lambda t: jax.tree.map(  # noqa: E731
+                lambda p: p.astype(jnp.bfloat16)
+                if getattr(p, "dtype", None) == jnp.float32 else p, t)
+            out, new_stats = self._apply_raw(
+                bf(params), batch_stats, bf(img1),
+                None if img2 is None else bf(img2), train)
+            # mutated BN stats come back bf16; restore the state dtypes
+            # so the donated TrainState keeps a stable layout
+            new_stats = jax.tree.map(
+                lambda n, o: n.astype(o.dtype), new_stats, batch_stats)
+            return out.astype(jnp.float32), new_stats
+        return self._apply_raw(params, batch_stats, img1, img2, train)
+
+    def _apply_raw(self, params, batch_stats, img1, img2, train):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -192,6 +214,31 @@ class Trainer:
         img1, img2 = self._unpack(batch)
         with self._fast_scope():
             return self._train_step(state, img1, img2)
+
+    def _train_multi_impl(self, state, imgs1, imgs2):
+        imgf0 = jnp.zeros(imgs1.shape[1:], jnp.float32)
+
+        def body(carry, xs):
+            st, _ = carry
+            a = xs[0]
+            b = xs[1] if imgs2 is not None else None
+            st, parts, imgf = self._train_step_impl(st, a, b)
+            return (st, imgf), parts
+
+        xs = (imgs1,) if imgs2 is None else (imgs1, imgs2)
+        (state, imgf), parts = jax.lax.scan(body, (state, imgf0), xs)
+        return state, parts, imgf
+
+    def train_steps(self, state, batches):
+        """K chained steps in ONE dispatch (lax.scan over stacked
+        (K, B, ...) batches): the reference hot-loop config (bs16 64x64
+        patches, train.py:37-133) is dispatch-overhead-bound on TPU —
+        each step is ~tens of us of real work behind ~ms of per-call
+        runtime. Returns (state, per-step loss parts stacked (K,),
+        last step's fused output)."""
+        img1, img2 = self._unpack(batches)
+        with self._fast_scope():
+            return self._train_multi(state, img1, img2)
 
     def valid_step(self, state, batch, mask=None):
         """mask: optional (N,) 0/1 array excluding wrap-padded samples from

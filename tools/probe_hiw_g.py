@@ -55,6 +55,7 @@ def main():
     iters = int(os.environ.get("ITERS", "10"))
     filt = os.environ.get("SHAPES")
     filt = set(filt.split(",")) if filt else None
+    rows_list = [int(x) for x in os.environ.get("ROWS", "16").split(",")]
 
     hg, wp = chain_shape(H, W)
     r = np.random.RandomState(0)
@@ -71,43 +72,50 @@ def main():
         w = jnp.asarray(r.rand(k, k, cin, cout) - 0.5, jnp.bfloat16) * 0.1
         bias = jnp.asarray(r.rand(cout), jnp.float32)
         picked = hiw_pick_g(cin, cout, k)
-        for g in (2, 4, 8, 16):
-            if not _hiw_g_ok(g, cin, cout, 16):
-                continue
+        for rows in rows_list:
+            for g in (2, 4, 8, 16):
+                if g > rows or not _hiw_g_ok(g, cin, cout, rows):
+                    continue
 
-            @functools.partial(jax.jit, static_argnames=("n", "g"))
-            def loop(x, w, bias, n, g):
-                def body(i, carry):
-                    x, s = carry
-                    y = conv_hiw_chain(x, w, k, h=H, w_valid=W, c_in=cin,
-                                       bias=bias, act="relu", g=g)
-                    m = y.astype(jnp.float32).mean()
-                    bump = jnp.where(m > 1e30, 1, 0).astype(x.dtype)
-                    return x + bump, s + m
-                return jax.lax.fori_loop(0, n, body,
-                                         (x, jnp.float32(0.0)))
+                @functools.partial(jax.jit,
+                                   static_argnames=("n", "g", "rows"))
+                def loop(x, w, bias, n, g, rows):
+                    def body(i, carry):
+                        x, s = carry
+                        y = conv_hiw_chain(x, w, k, h=H, w_valid=W,
+                                           c_in=cin, bias=bias, act="relu",
+                                           g=g, rows=rows)
+                        m = y.astype(jnp.float32).mean()
+                        bump = jnp.where(m > 1e30, 1, 0).astype(x.dtype)
+                        return x + bump, s + m
+                    return jax.lax.fori_loop(0, n, body,
+                                             (x, jnp.float32(0.0)))
 
-            try:
-                t0 = time.perf_counter()
-                out = loop(x, w, bias, iters, g)
-                m = float(out[1])
-                cs = time.perf_counter() - t0
-                assert np.isfinite(m), m
-                t0 = time.perf_counter()
-                out = loop(x + jnp.asarray(1e-3, x.dtype), w, bias,
-                           iters, g)
-                float(out[1])
-                dt = (time.perf_counter() - t0) / iters
-                flops = 2.0 * b * H * W * k * k * cin * cout
-                print(json.dumps({
-                    "probe": "hiw_g", "shape": key, "name": name, "g": g,
-                    "picked": g == picked, "ms": round(dt * 1e3, 3),
-                    "tf": round(flops / dt / 1e12, 2),
-                    "compile_s": round(cs, 1)}), flush=True)
-            except Exception as e:
-                print(json.dumps({
-                    "probe": "hiw_g", "shape": key, "name": name, "g": g,
-                    "error": str(e).splitlines()[0][:140]}), flush=True)
+                try:
+                    t0 = time.perf_counter()
+                    out = loop(x, w, bias, iters, g, rows)
+                    m = float(out[1])
+                    cs = time.perf_counter() - t0
+                    assert np.isfinite(m), m
+                    t0 = time.perf_counter()
+                    out = loop(x + jnp.asarray(1e-3, x.dtype), w, bias,
+                               iters, g, rows)
+                    float(out[1])
+                    dt = (time.perf_counter() - t0) / iters
+                    flops = 2.0 * b * H * W * k * k * cin * cout
+                    print(json.dumps({
+                        "probe": "hiw_g", "shape": key, "name": name,
+                        "g": g, "rows": rows,
+                        "picked": g == picked and rows == 16,
+                        "ms": round(dt * 1e3, 3),
+                        "tf": round(flops / dt / 1e12, 2),
+                        "compile_s": round(cs, 1)}), flush=True)
+                except Exception as e:
+                    print(json.dumps({
+                        "probe": "hiw_g", "shape": key, "name": name,
+                        "g": g, "rows": rows,
+                        "error": str(e).splitlines()[0][:140]}),
+                        flush=True)
 
 
 if __name__ == "__main__":

@@ -33,8 +33,10 @@ def parse(path):
             d = json.loads(line)
         except ValueError:
             continue
-        if d.get("probe") != "hiw_g" or "ms" not in d:
-            continue
+        if d.get("probe") != "hiw_g" or "ms" not in d \
+                or d.get("rows", 16) != 16:
+            continue  # HIW_G_TABLE is the rows=16 pick; rows legs are
+            # diagnostics for a (future) rows table
         runs.setdefault(d["shape"], {})[d["g"]] = d["ms"]
         if d.get("picked"):
             picked[d["shape"]] = d["ms"]

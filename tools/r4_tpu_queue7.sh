@@ -18,6 +18,10 @@ echo "=== $(date) hiw per-shape g sweep (production kernel)"
 timeout 7200 python tools/probe_hiw_g.py
 echo "--- probe_hiw_g exit: $?"
 
+echo "=== $(date) hiw rows sweep at the two fat DeepFuse shapes"
+SHAPES=16-32-7,32-32-7 ROWS=8,16,32 timeout 5400 python tools/probe_hiw_g.py
+echo "--- probe_hiw_rows exit: $?"
+
 echo "=== $(date) r4 g-table autoflip"
 timeout 3600 python tools/r4_autoflip_g.py
 echo "--- autoflip_g exit: $?"

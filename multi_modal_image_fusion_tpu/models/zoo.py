@@ -296,10 +296,17 @@ class DeepFuse(_FusionModel):
         # the 1-channel boundary instead of a pad + two transposes per
         # layer (docs/PERFORMANCE.md round 2). Elementwise fusion modes
         # work directly on chain tensors.
-        if (img2 is not None and not train and chain_ready()
+        # int8 chains: the H-major path quantizes in-kernel (ops/pallas/
+        # hiw_int8.py), so it may run UNDER quantized_inference —
+        # MMIF_HIW_INT8=0 reverts to the NHWC int8 dispatch
+        from ..ops.quant import quant_ctx
+        qc = quant_ctx()
+        import os
+        hiw_q = (qc is not None
+                 and os.environ.get("MMIF_HIW_INT8", "1") != "0")
+        if (img2 is not None and not train
+                and chain_ready(allow_quant=hiw_q)
                 and self.fusion_mode in ("sum", "mean", "max")):
-            import os
-
             from ..ops.pallas.conv_kernel import (chain_enter, chain_exit,
                                                   conv_tlane_chain_pair)
 
@@ -321,7 +328,7 @@ class DeepFuse(_FusionModel):
             # block-banded weight LHS; the dot's RHS becomes a contiguous
             # sublane window of the strip. MMIF_CHAIN_HIW=auto/0/1.
             from ..ops.pallas.hiw_kernel import hiw_enabled
-            if hiw_enabled() and not use_pair:
+            if (hiw_enabled() or qc is not None) and not use_pair:
                 from ..ops.pallas.hiw_kernel import (conv_hiw_chain,
                                                      hiw_enter, hiw_exit)
 
@@ -330,6 +337,23 @@ class DeepFuse(_FusionModel):
                 def hconv(t, layer, c_in, fuse_n=0):
                     wgt, bias, k, act = layer(None, chain_hw=(h, w),
                                               chain_defer_in_ch=c_in)
+                    if qc is not None:
+                        # int8 leg when this layer has a calibrated amax
+                        # and hits the int8 alignment contract; the thin
+                        # entry/exit layers (c_in=1 / c_out=1) stay bf16
+                        from ..ops.pallas.hiw_int8 import (
+                            conv_hiw_chain_q, hiw_q_ok)
+                        amax = qc.get(layer.name)
+                        if (amax is not None and layer.out_ch > 1
+                                and hiw_q_ok(c_in, layer.out_ch, k)):
+                            import numpy as _np
+                            amax = _np.asarray(amax, _np.float32)
+                            if amax.shape == (c_in,) and amax.max() > 0:
+                                return conv_hiw_chain_q(
+                                    t, wgt, k, h=h, w_valid=w, c_in=c_in,
+                                    amax=jnp.asarray(amax), bias=bias,
+                                    act=act, fuse_n=fuse_n,
+                                    interpret=interp)
                     return conv_hiw_chain(
                         t, wgt.astype(t.dtype), k, h=h, w_valid=w,
                         c_in=c_in, bias=bias, act=act, fuse_n=fuse_n,

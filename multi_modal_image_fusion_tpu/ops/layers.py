@@ -56,7 +56,7 @@ def fast_training(enable=True):
         _FAST_TRAINING.reset(token)
 
 
-def chain_ready():
+def chain_ready(allow_quant=False):
     """True when the NCHW-resident conv chain (guard layout,
     ops/pallas/conv_kernel.conv_tlane_chain) is usable: fast-inference
     scope on a TPU backend. Models with elementwise/concat fusion use it
@@ -65,10 +65,12 @@ def chain_ready():
     MMIF_CHAIN_INTERPRET=1 forces the chain on any backend with the
     kernels in interpret mode — CPU model-level parity tests only."""
     from .quant import quant_ctx
-    if quant_ctx() is not None:
+    if quant_ctx() is not None and not allow_quant:
         # int8 inference replaces convs at the NHWC dispatch point
         # (ops/quant.py); the bf16 chain fast paths must step aside so
-        # every conv reaches it
+        # every conv reaches it — EXCEPT for models that run the int8
+        # H-major chain themselves (allow_quant=True; DeepFuse +
+        # ops/pallas/hiw_int8.py)
         return False
     if os.environ.get("MMIF_CHAIN_INTERPRET"):
         return _FAST_INFERENCE.get()

@@ -1,0 +1,121 @@
+"""int8 halo-in-weights chain conv parity (ops/pallas/hiw_int8.py).
+
+Interpret mode on CPU: the kernel must reproduce the emulated int8
+reference — quantize(x) @ quantize(w) in int32, dequant, bias, act —
+EXACTLY (same integer math), and stay within the quantization error
+budget of the f32 conv."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_image_fusion_tpu.ops.pallas.conv_int8 import (
+    choose_fold, fold_weights, quantize_weights)
+from multi_modal_image_fusion_tpu.ops.pallas.hiw_int8 import (
+    conv_hiw_chain_q, hiw_q_ok)
+from tests.test_hiw import _from_hmajor, _ref_conv, _to_hmajor
+
+
+def _emulated_int8(x, w, amax, bias=None, act=None):
+    """Smooth-folded per-channel int8 activations, per-out-channel int8
+    weights, int32 accumulate, f32 dequant — the kernel's exact
+    integer math (conv_int8.choose_fold scheme)."""
+    f = choose_fold(amax, w, "smooth")
+    # multiply by the reciprocal, EXACTLY like the kernel's invf pass —
+    # x/f differs from x*(1/f) by an ulp at round boundaries, which
+    # flips whole int8 quanta
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / f)),
+                  -127, 127).astype(jnp.float32)
+    wq, sw = quantize_weights(fold_weights(w, f))
+    p = w.shape[0] // 2
+    xp = jnp.pad(xq, ((0, 0), (p, p), (p, p), (0, 0)), "reflect") \
+        if p else xq
+    y = jax.lax.conv_general_dilated(
+        xp, wq.astype(jnp.float32), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y * sw
+    if bias is not None:
+        y = y + bias
+    if act == "relu":
+        y = jax.nn.relu(y)
+    return y
+
+
+@pytest.mark.parametrize("k,c_in,c_out,g,h,w", [
+    (7, 16, 32, 4, 40, 96),     # enc1 class
+    (7, 32, 32, 2, 41, 61),     # dec0 class, odd size
+    (5, 32, 16, 4, 33, 61),     # dec1 class
+])
+def test_hiw_q_parity(k, c_in, c_out, g, h, w):
+    assert hiw_q_ok(c_in, c_out, k, g)
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.rand(2, h, w, c_in) - 0.5, jnp.float32)
+    wgt = jnp.asarray(r.rand(k, k, c_in, c_out) - 0.5, jnp.float32)
+    bias = jnp.asarray(r.rand(c_out) - 0.5, jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    want = _emulated_int8(x, wgt, amax, bias, "relu")
+    got = conv_hiw_chain_q(_to_hmajor(x), wgt, k, h=h, w_valid=w,
+                           c_in=c_in, amax=amax, bias=bias,
+                           act="relu", g=g, interpret=True)
+    got = _from_hmajor(got, h, w, c_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # quantization error vs the f32 conv stays in budget
+    f32 = _ref_conv(x, wgt, bias, "relu")
+    rel = float(jnp.abs(got - f32).max() / (jnp.abs(f32).max() + 1e-8))
+    assert rel < 0.02, rel
+
+
+def test_hiw_q_fused_sum():
+    """fuse_n + in-kernel quantization of the summed input."""
+    r = np.random.RandomState(1)
+    h, w = 32, 64
+    x = jnp.asarray(r.rand(4, h, w, 32) - 0.5, jnp.float32)
+    wgt = jnp.asarray(r.rand(7, 7, 32, 32) - 0.5, jnp.float32)
+    amax = jnp.max(jnp.abs(x[:2] + x[2:]), axis=(0, 1, 2))
+    want = _emulated_int8(x[:2] + x[2:], wgt, amax, act="relu")
+    got = conv_hiw_chain_q(_to_hmajor(x), wgt, 7, h=h, w_valid=w,
+                           c_in=32, amax=amax, act="relu", g=2,
+                           fuse_n=2, interpret=True)
+    got = _from_hmajor(got, h, w, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deepfuse_hiw_int8_path(monkeypatch):
+    """DeepFuse under quantized_inference runs the int8 H-major chain
+    (fat layers int8, gray entry/exit bf16) and stays within the
+    quantization budget of the f32 forward."""
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops import layers as L
+    from multi_modal_image_fusion_tpu.ops.quant import (calibrate,
+                                                        quantized_inference)
+
+    monkeypatch.setenv("MMIF_CHAIN_INTERPRET", "1")
+    r = np.random.RandomState(3)
+    img1 = jnp.asarray(r.rand(2, 40, 96, 1), jnp.float32)
+    img2 = jnp.asarray(r.rand(2, 40, 96, 1), jnp.float32)
+    model = create_model("deepfuse")
+    variables = model.init(jax.random.PRNGKey(0), img1, img2, train=False)
+    want = model.apply(variables, img1, img2, train=False)
+    amax = calibrate(model, variables, [(img1, img2)])
+    assert "enc1" in amax and "dec0" in amax
+    with L.fast_inference(), quantized_inference(amax):
+        got = model.apply(variables, img1, img2, train=False)
+    rel = float(jnp.abs(got - want).max() / (jnp.abs(want).max() + 1e-8))
+
+    # the NHWC int8 dispatch stays reachable with the chain disabled
+    monkeypatch.setenv("MMIF_HIW_INT8", "0")
+    with L.fast_inference(), quantized_inference(amax):
+        got2 = model.apply(variables, img1, img2, train=False)
+    rel2 = float(jnp.abs(got2 - want).max() / (jnp.abs(want).max() + 1e-8))
+
+    # random-weight quantization error compounds over the 3 int8 layers
+    # (~5% here); the PRODUCT accuracy gate is tools/int8_acceptance.py
+    # (SSIM/Qabf <= 1e-3 on reference imagery, where the shipped NHWC
+    # path measured 1.7e-4 dSSIM). The unit contract: the hiw-q chain is
+    # quantized (not bit-equal to f32) and matches the shipped NHWC int8
+    # scheme's error budget on the same inputs (measured 4.68% vs 4.76%).
+    assert 1e-6 < rel < max(1.3 * rel2, 1e-2), (rel, rel2)

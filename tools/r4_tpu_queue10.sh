@@ -1,9 +1,9 @@
 #!/bin/bash
-# Round-4 queue 10: int8 through the H-major chain (ops/pallas/
-# hiw_int8.py). The fat DeepFuse layers are MXU-bound after the hiw
-# reformulation, so the int8 MXU mode's ~2x should finally move the
-# headline (the NHWC int8 path measured 66.9 pairs/s — it bypassed the
-# chain entirely). Acceptance gates accuracy (SSIM/Qabf <= 1e-3).
+# Round-4 queue 10 (fires FIRST after queue 6 — lexical order): the
+# highest-value measurements left this round, trimmed to fit the
+# remaining window. (a) per-shape g sweep -> HIW_G_TABLE autoflip ->
+# headline re-measure; (b) multi-leg H-major zoo paths: parity + timing
+# -> default autoflip.
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 exec > >(tee -a /root/repo/docs/r4_queue_results.log) 2>&1
@@ -15,14 +15,22 @@ print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r4q10'; exit 1; }
 
-echo "=== $(date) int8 acceptance: deepfuse through the hiw-q chain"
-timeout 2400 python tools/int8_acceptance.py deepfuse
-echo "--- exit: $?"
+echo "=== $(date) hiw per-shape g sweep (production kernel)"
+ITERS=6 timeout 5400 python tools/probe_hiw_g.py
+echo "--- probe_hiw_g exit: $?"
 
-echo "=== $(date) int8 headline bench (hiw-q chain, MMIF_HIW_INT8 default)"
-BENCH_INT8=1 timeout 2400 python bench.py
-echo "--- exit: $?"
+echo "=== $(date) r4 g-table autoflip"
+timeout 3600 python tools/r4_autoflip_g.py
+echo "--- autoflip_g exit: $?"
 
-echo "=== $(date) int8 headline bench, chain disabled (NHWC int8 baseline)"
-BENCH_INT8=1 MMIF_HIW_INT8=0 timeout 2400 python bench.py
-echo "--- exit: $?"
+echo "=== $(date) headline bench post g-table"
+timeout 1800 python bench.py
+echo "--- bench exit: $?"
+
+echo "=== $(date) hiw multi-leg zoo: TPU parity + both-path timing"
+ITERS=3 timeout 10800 python tools/probe_hiw_zoo.py
+echo "--- probe_hiw_zoo exit: $?"
+
+echo "=== $(date) r4 multi-leg default autoflip"
+timeout 3600 python tools/r4_autoflip_multi.py
+echo "--- autoflip_multi exit: $?"

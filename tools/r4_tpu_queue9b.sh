@@ -13,6 +13,14 @@ print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r4q9b'; exit 1; }
 
+echo "=== $(date) tiled tail with XLA convs (isolate the Pallas-in-lax.map compiler crash)"
+for m in res2fusion mafusion nestfuse; do
+  echo "--- $m b4 t4 MMIF_NO_PALLAS=1"
+  BENCH_MODEL=$m BENCH_BATCH=4 BENCH_TILES=4 MMIF_NO_PALLAS=1 \
+    timeout 1500 python bench.py
+  echo "--- exit: $?"
+done
+
 echo "=== $(date) hiw rows sweep at the two fat DeepFuse shapes"
 SHAPES=16-32-7,32-32-7 ROWS=8,16,32 ITERS=6 \
   timeout 5400 python tools/probe_hiw_g.py

@@ -33,6 +33,13 @@ import time
 
 import numpy as np
 
+# int8 headline default (BENCH_INT8 env overrides). Flipped by
+# tools/r4_autoflip_int8.py only when the measured int8 leg BEATS the
+# bf16 headline AND the acceptance harness passes (SSIM/Qabf <= 1e-3,
+# the BASELINE.json parity budget — so the headline metric keeps its
+# accuracy contract).
+INT8_DEFAULT = False
+
 
 def main():
     os.environ.setdefault("MMIF_COMPILE_CACHE",
@@ -109,12 +116,22 @@ def main():
         def fwd(a, b):
             return model.apply(variables, a, b, train=False)
 
-    # BENCH_INT8=1: post-training int8 inference (ops/quant.py) — calibrate
-    # per-layer activation amax on a small slice (random data; the point is
-    # the kernel path, not the statistics), then run the timed region under
-    # quantized_inference so eligible convs hit the int8 MXU kernel.
+    # BENCH_INT8=1 (or INT8_DEFAULT, flipped by tools/r4_autoflip_int8.py
+    # once the acceptance harness + both headline legs prove it): post-
+    # training int8 inference (ops/quant.py) — calibrate per-layer
+    # activation amax on a small slice (random data; the point is the
+    # kernel path, not the statistics), then run the timed region under
+    # quantized_inference so eligible convs hit the int8 MXU kernels
+    # (ops/pallas/hiw_int8.py through the chain). The accuracy contract
+    # stays the BASELINE.json budget: SSIM/Qabf within 1e-3 of bf16
+    # (tools/int8_acceptance.py).
     qctx = None
-    if os.environ.get("BENCH_INT8"):
+    int8_on = os.environ.get("BENCH_INT8")
+    if int8_on is None:
+        int8_on = INT8_DEFAULT
+    else:
+        int8_on = int8_on not in ("", "0")
+    if int8_on:
         from multi_modal_image_fusion_tpu.ops.quant import (
             calibrate, quantized_inference)
 

@@ -23,3 +23,7 @@ echo "--- exit: $?"
 echo "=== $(date) int8 headline bench, chain disabled (NHWC int8 baseline)"
 BENCH_INT8=1 MMIF_HIW_INT8=0 timeout 2400 python bench.py
 echo "--- exit: $?"
+
+echo "=== $(date) r4 int8 headline autoflip"
+timeout 3600 python tools/r4_autoflip_int8.py
+echo "--- autoflip_int8 exit: $?"

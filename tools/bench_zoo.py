@@ -107,8 +107,7 @@ def main():
             print(f"[skip] {name}: already recorded "
                   f"{done[name]['pairs_per_sec']} pairs/s", flush=True)
             continue
-        rec = None
-        for batch, tiles in ladder:
+        def attempt(batch, tiles):
             tag = f"b{batch}" + (f" t{tiles}" if tiles else "")
             print(f"[run] {name} {tag} ...", flush=True)
             try:
@@ -122,16 +121,34 @@ def main():
                     result, wall, err = run_one(name, batch, tiles)
             except subprocess.TimeoutExpired:
                 result, wall, err = None, 1800.0, "timeout"
-            if result is not None:
-                rec = {"model": name, "batch": batch, "tiles": tiles,
-                       "pairs_per_sec": result["value"],
-                       "vs_baseline": result.get("vs_baseline"),
-                       "wall_s": round(wall, 1)}
-                print(f"[ok]  {name} {tag}: {result['value']} pairs/s "
-                      f"(wall {wall:.0f}s)", flush=True)
+            if result is None:
+                print(f"[fail] {name} {tag} (wall {wall:.0f}s):\n{err}",
+                      flush=True)
+                return None
+            print(f"[ok]  {name} {tag}: {result['value']} pairs/s "
+                  f"(wall {wall:.0f}s)", flush=True)
+            return {"model": name, "batch": batch, "tiles": tiles,
+                    "pairs_per_sec": result["value"],
+                    "vs_baseline": result.get("vs_baseline"),
+                    "wall_s": round(wall, 1)}
+
+        rec = None
+        for batch, tiles in ladder:
+            rec = attempt(batch, tiles)
+            if rec is not None:
                 break
-            print(f"[fail] {name} {tag} (wall {wall:.0f}s):\n{err}",
-                  flush=True)
+        # a tiled success is NOT automatically a win (halo recompute can
+        # lose to the smaller untiled batch — unfusion b16 t4 measured
+        # 6.06 vs b4 untiled 8.47): also run the first untiled rung and
+        # keep the better of the two
+        if rec is not None and rec["tiles"]:
+            for batch, tiles in ladder:
+                if not tiles:
+                    alt = attempt(batch, tiles)
+                    if alt is not None and (alt["pairs_per_sec"]
+                                            > rec["pairs_per_sec"]):
+                        rec = alt
+                    break
         if rec is None:
             rec = {"model": name, "batch": None, "pairs_per_sec": None,
                    "error": True}

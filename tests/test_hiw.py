@@ -248,6 +248,7 @@ def test_hiw_multi_gray_legs():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", [
     "densefuse", "vifnet", "pfnetv1", "ifcnn", "difnet", "pmgi"])
 def test_model_hiw_path_parity(name, monkeypatch):

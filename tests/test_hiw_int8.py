@@ -84,6 +84,7 @@ def test_hiw_q_fused_sum():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_deepfuse_hiw_int8_path(monkeypatch):
     """DeepFuse under quantized_inference runs the int8 H-major chain
     (fat layers int8, gray entry/exit bf16) and stays within the

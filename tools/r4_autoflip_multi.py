@@ -75,7 +75,7 @@ def main():
         f.write(new)
 
     try:
-        r = subprocess.run([sys.executable, "-m", "pytest", "-q", "-x"]
+        r = subprocess.run([sys.executable, "-m", "pytest", "-q", "-x", "-m", ""]
                            + PARITY_TESTS, timeout=3300)
         failed = r.returncode != 0
     except Exception as e:

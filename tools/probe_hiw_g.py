@@ -27,9 +27,11 @@ import numpy as np
 # (runs on both pair halves). Shapes cover DeepFuse (k5/k7) plus the
 # DenseFuse/VIFNet/IFCNN H-major families (k3 stacks, dense growth).
 SHAPES = [
+    ("deepfuse enc0", 1, 16, 5, 2),
     ("deepfuse enc1", 16, 32, 7, 2),
     ("deepfuse dec0", 32, 32, 7, 1),
     ("deepfuse dec1", 32, 16, 5, 1),
+    ("deepfuse dec2", 16, 1, 5, 1),
     ("densefuse dense", 16, 16, 3, 2),
     ("densefuse dec0", 64, 64, 3, 1),
     ("densefuse dec1", 64, 32, 3, 1),

@@ -27,5 +27,5 @@ SHAPES=16-32-7,32-32-7 ROWS=8,16,32 ITERS=6 \
 echo "--- probe_hiw_rows exit: $?"
 
 echo "=== $(date) zoo table refresh for the multi-leg models"
-timeout 14400 python tools/bench_zoo.py densefuse vifnet pfnetv1 ifcnn difnet pmgi unfusion
+timeout 14400 python tools/bench_zoo.py densefuse vifnet pfnetv1 ifcnn difnet pmgi unfusion res2fusion
 echo "--- zoo refresh exit: $?"

@@ -15,8 +15,9 @@ print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r4q10'; exit 1; }
 
-echo "=== $(date) hiw per-shape g sweep (production kernel)"
-ITERS=6 timeout 5400 python tools/probe_hiw_g.py
+echo "=== $(date) hiw per-shape g sweep (headline shapes first)"
+SHAPES=1-16-5,16-32-7,32-32-7,32-16-5,16-1-5 ITERS=5 \
+  timeout 4500 python tools/probe_hiw_g.py
 echo "--- probe_hiw_g exit: $?"
 
 echo "=== $(date) r4 g-table autoflip"

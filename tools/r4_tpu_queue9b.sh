@@ -29,3 +29,12 @@ echo "--- probe_hiw_rows exit: $?"
 echo "=== $(date) zoo table refresh for the multi-leg models"
 timeout 14400 python tools/bench_zoo.py densefuse vifnet pfnetv1 ifcnn difnet pmgi unfusion res2fusion
 echo "--- zoo refresh exit: $?"
+
+echo "=== $(date) hiw g sweep: remaining zoo shapes (round-5 table food)"
+SHAPES=16-16-3,64-64-3,64-32-3,32-16-3,128-64-3,1-64-7 ITERS=6 \
+  timeout 5400 python tools/probe_hiw_g.py
+echo "--- probe_hiw_g zoo exit: $?"
+
+echo "=== $(date) r4 g-table autoflip (zoo shapes)"
+timeout 3600 python tools/r4_autoflip_g.py
+echo "--- autoflip_g exit: $?"

@@ -116,6 +116,7 @@ def hiw_exit(xt, h, w):
 # (dec0 32->32 k7: 74.5 vs 66.3 TF) — band FLOP inflation (g+k-1)/k
 # dominates the group-launch amortization once c_out is wide enough.
 HIW_G_TABLE = {
+    (1, 16, 5): 16,
     (32, 32, 7): 2,
 }
 

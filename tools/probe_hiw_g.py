@@ -58,6 +58,7 @@ def main():
     filt = os.environ.get("SHAPES")
     filt = set(filt.split(",")) if filt else None
     rows_list = [int(x) for x in os.environ.get("ROWS", "16").split(",")]
+    interp = bool(os.environ.get("INTERPRET"))  # CPU smoke only
 
     hg, wp = chain_shape(H, W)
     r = np.random.RandomState(0)
@@ -86,8 +87,15 @@ def main():
                         x, s = carry
                         y = conv_hiw_chain(x, w, k, h=H, w_valid=W,
                                            c_in=cin, bias=bias, act="relu",
-                                           g=g, rows=rows)
-                        m = y.astype(jnp.float32).mean()
+                                           g=g, rows=rows, interpret=interp)
+                        # Reduce over the VALID slice only: the kernel never
+                        # writes the guard rows/columns, and uninitialized
+                        # HBM there can decode non-finite (the queue-11 dec-
+                        # shape "nan" failures were exactly this).
+                        yv = y[:, CHAIN_GUARD * cout:
+                               (CHAIN_GUARD + H) * cout,
+                               CHAIN_WG:CHAIN_WG + W]
+                        m = yv.astype(jnp.float32).mean()
                         bump = jnp.where(m > 1e30, 1, 0).astype(x.dtype)
                         return x + bump, s + m
                     return jax.lax.fori_loop(0, n, body,

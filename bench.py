@@ -133,12 +133,12 @@ def main():
         int8_on = int8_on not in ("", "0")
     if int8_on:
         from multi_modal_image_fusion_tpu.ops.quant import (
-            calibrate, quantized_inference)
+            calibrate, default_skip, quantized_inference)
 
         amax = calibrate(model, variables,
                          [(x1[:1, :256, :256].astype(dtype),
                            x2[:1, :256, :256].astype(dtype))])
-        qctx = quantized_inference(amax)
+        qctx = quantized_inference(amax, skip=default_skip(model_name))
 
     @functools.partial(jax.jit, static_argnames="n")
     def bench_loop(a, b, n):

@@ -202,7 +202,8 @@ def main(argv=None):
     import contextlib
     qctx = contextlib.nullcontext()
     if getattr(args, "int8", False):
-        from ..ops.quant import calibrate, quantized_inference
+        from ..ops.quant import calibrate, default_skip, \
+            quantized_inference
 
         cal = []
         for i in range(min(4, len(dataset))):
@@ -210,9 +211,11 @@ def main(argv=None):
             cal.append((jnp.asarray(a)[None, ..., None],
                         jnp.asarray(b)[None, ..., None]))
         amax = calibrate(model, variables, cal)
+        skip = default_skip(model_name)
         print(f"int8: calibrated {len(amax)} conv layers on {len(cal)} "
-              f"image pairs")
-        qctx = quantized_inference(amax)
+              f"image pairs"
+              + (f"; bf16-skip {','.join(skip)}" if skip else ""))
+        qctx = quantized_inference(amax, skip=skip)
     try:
         with qctx:
             ssim, avg_time = test_model(model, variables, dataset,

@@ -343,8 +343,10 @@ class DeepFuse(_FusionModel):
                         # entry/exit layers (c_in=1 / c_out=1) stay bf16
                         from ..ops.pallas.hiw_int8 import (
                             conv_hiw_chain_q, hiw_q_ok)
+                        from ..ops.quant import quant_skipped
                         amax = qc.get(layer.name)
                         if (amax is not None and layer.out_ch > 1
+                                and not quant_skipped((layer.name,))
                                 and hiw_q_ok(c_in, layer.out_ch, k)):
                             import numpy as _np
                             amax = _np.asarray(amax, _np.float32)

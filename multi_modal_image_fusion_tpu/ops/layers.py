@@ -603,14 +603,17 @@ class ConvLayer(nn.Module):
         b = self.param("bias", nn.initializers.zeros,
                        (self.out_ch,)) if bias else None
 
-        from .quant import quant_ctx
+        from .quant import quant_ctx, quant_skipped
         qc = quant_ctx()
+        if qc is not None and quant_skipped(self.path):
+            qc = None  # MMIF_INT8_SKIP: this layer stays bf16/f32
         if (qc is not None and not train and not self.transpose
                 and self.stride == 1 and self.groups == 1
                 and self.dilation == 1 and pad == self.ksize // 2
                 and not os.environ.get("MMIF_NO_PALLAS")
                 and (jax.default_backend() == "tpu"
-                     or os.environ.get("MMIF_CHAIN_INTERPRET"))):
+                     or os.environ.get("MMIF_CHAIN_INTERPRET")
+                     or os.environ.get("MMIF_INT8_FAKE"))):
             # int8 inference (ops/quant.py): symmetric max-abs weights
             # per-output-channel, activations per-tensor with the
             # calibrated static amax (dynamic-max fallback when this
@@ -631,6 +634,27 @@ class ConvLayer(nn.Module):
                                                 "smooth"))
             qx = quantize_input_scaled(x, f)
             qw, sw = quantize_weights(fold_weights(kernel, f))
+            if os.environ.get("MMIF_INT8_FAKE"):
+                # Fake-quant emulation of the int8 kernel's exact scheme
+                # (same quantizers, float conv of the dequantized values;
+                # the int32 dot is exact, so this matches the kernel up
+                # to f32 conv rounding). CPU-runnable: acceptance
+                # experiments + numerics tests without TPU.
+                x_dq = qx.astype(jnp.float32) \
+                    * f.reshape(1, 1, 1, -1).astype(jnp.float32)
+                w_dq = qw.astype(jnp.float32) \
+                    * sw.reshape(1, 1, 1, -1).astype(jnp.float32) \
+                    / f.reshape(1, 1, -1, 1).astype(jnp.float32)
+                y = jax.lax.conv_general_dilated(
+                    x_dq, w_dq, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = y.astype(x.dtype)
+                if b is not None:
+                    y = y + b.astype(y.dtype)
+                if self.norm is not None:
+                    post = make_norm(self.norm, self.out_ch, name="norm")
+                    y = apply_norm(post, y, train)
+                return get_act(self.act)(y)
             fuse_q = self.norm is None and \
                 (self.act is None or self.act in _FUSABLE_ACTS)
             y = conv_tlane_dma_q(

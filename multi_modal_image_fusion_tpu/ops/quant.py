@@ -36,14 +36,46 @@ import contextvars
 import jax
 import jax.numpy as jnp
 
-__all__ = ["calibrate", "quantized_inference", "quant_ctx"]
+__all__ = ["calibrate", "quantized_inference", "quant_ctx",
+           "quant_skipped", "default_skip"]
 
 _QUANT_CTX = contextvars.ContextVar("mmif_quant", default=None)
+_QUANT_SKIP = contextvars.ContextVar("mmif_quant_skip", default=())
+
+# Measured mixed-precision defaults: layers whose int8 error blows the
+# 1e-3 SSIM/Qabf budget stay bf16 (the standard PTQ cure). deepfuse/dec1
+# from tools/probe_int8_ablate.py: full hiw-q set dQabf 2.1e-3 (matches
+# the TPU acceptance failure, 2.63e-3); skipping dec1 alone -> 3.1e-4
+# while the two fat k7 layers (~88% of the FLOPs) stay int8.
+DEFAULT_INT8_SKIP = {"deepfuse": ("dec1",)}
+
+
+def default_skip(model_name):
+    """The measured skip tuple for a model (empty if none known)."""
+    return DEFAULT_INT8_SKIP.get(str(model_name).lower(), ())
 
 
 def quant_ctx():
     """The active calibration dict (module-path -> amax) or None."""
     return _QUANT_CTX.get()
+
+
+def quant_skipped(path):
+    """True if this layer is excluded from int8 — by the active
+    quantized_inference(skip=...) set, or by MMIF_INT8_SKIP (comma-
+    separated layer names; env overrides ADD to the context set).
+    Matched against the flax path's last element — e.g. skip=("dec1",)
+    keeps DeepFuse's dec1 in bf16. Mixed precision is the standard cure
+    when a quantized layer blows the accuracy budget
+    (tools/int8_acceptance.py, tools/probe_int8_ablate.py)."""
+    import os
+    if not path:
+        return False
+    names = set(_QUANT_SKIP.get())
+    env = os.environ.get("MMIF_INT8_SKIP")
+    if env:
+        names.update(env.split(","))
+    return path[-1] in names
 
 
 class quantized_inference:
@@ -52,17 +84,22 @@ class quantized_inference:
     amax: {"enc0": 1.7, ...} module-path keys as produced by
     `calibrate` ("/"-joined flax paths). An empty dict is allowed —
     every layer then uses a dynamic per-batch max.
+    skip: layer names to keep in bf16 (mixed precision; see
+    `default_skip` for the measured per-model defaults).
     """
 
-    def __init__(self, amax=None):
+    def __init__(self, amax=None, skip=()):
         self.amax = dict(amax or {})
+        self.skip = tuple(skip)
 
     def __enter__(self):
         self._tok = _QUANT_CTX.set(self.amax)
+        self._tok_skip = _QUANT_SKIP.set(self.skip)
         return self
 
     def __exit__(self, *exc):
         _QUANT_CTX.reset(self._tok)
+        _QUANT_SKIP.reset(self._tok_skip)
         return False
 
 

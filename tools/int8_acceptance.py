@@ -34,7 +34,7 @@ def main():
     from multi_modal_image_fusion_tpu.ops.metrics import calc_Qabf, \
         calc_ssim
     from multi_modal_image_fusion_tpu.ops.quant import (
-        calibrate, quantized_inference)
+        calibrate, default_skip, quantized_inference)
 
     models = sys.argv[1:] or DEFAULT_MODELS
     limit = int(os.environ.get("LIMIT", "4"))
@@ -64,7 +64,7 @@ def main():
             with fast_inference():
                 base = model.apply(variables, a.astype(dtype),
                                    b.astype(dtype), train=False)
-                with quantized_inference(amax):
+                with quantized_inference(amax, skip=default_skip(name)):
                     q = model.apply(variables, a.astype(dtype),
                                     b.astype(dtype), train=False)
             base = jnp.clip(base.astype(jnp.float32), 0, 1)

@@ -1,0 +1,101 @@
+"""Per-layer int8 sensitivity ablation (CPU, fake-quant emulation).
+
+The queue-11 hiw-q acceptance leg failed on deepfuse: dQabf 2.63e-3 vs
+the 1e-3 budget (dSSIM was fine). Standard cure is mixed precision —
+keep the budget-blowing layer(s) in bf16 — but each TPU acceptance leg
+costs ~20 min through the relay. This probe ranks layer sensitivity on
+CPU using MMIF_INT8_FAKE (ops/layers.py): the exact quantizers
+(choose_fold/quantize_weights/quantize_input_scaled) with a float conv
+of the dequantized values, which matches the int kernel up to f32 conv
+rounding (the int32 dot is exact).
+
+The skip baseline mirrors the hiw-q chain's own eligibility for
+deepfuse: enc0 (c_in=1 fails hiw_q_ok alignment) and dec2 (out_ch==1
+zoo gate) are always bf16; the quantized set is {enc1, dec0, dec1}.
+
+Usage: JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+           python tools/probe_int8_ablate.py [model]
+env: LIMIT (pairs, default 2)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# hiw-ineligible layers, always bf16 in the hiw-q chain (see docstring)
+HIW_BF16 = "enc0,dec2"
+# one config per line: extra layers to skip on top of HIW_BF16
+CONFIGS = [
+    "",            # reproduce the TPU acceptance set {enc1,dec0,dec1}
+    "dec1",
+    "dec0",
+    "enc1",
+    "dec0,dec1",
+    "enc1,dec1",
+]
+
+
+def main():
+    os.environ["MMIF_INT8_FAKE"] = "1"
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_image_fusion_tpu.data.dataset import FusionDataset
+    from multi_modal_image_fusion_tpu.models import create_model
+    from multi_modal_image_fusion_tpu.ops.layers import fast_inference
+    from multi_modal_image_fusion_tpu.ops.metrics import calc_Qabf, \
+        calc_ssim
+    from multi_modal_image_fusion_tpu.ops.quant import (
+        calibrate, quantized_inference)
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "deepfuse"
+    limit = int(os.environ.get("LIMIT", "2"))
+
+    sample_root = os.environ.get(
+        "MMIF_SAMPLES", "/root/reference/data/samples/infrared")
+    ds = FusionDataset(sample_root, set_name="test", set_type="test",
+                       img_type="ir")
+    pairs = []
+    for i in range(min(limit, len(ds))):
+        a, b = ds[i]
+        pairs.append((jnp.asarray(a)[None, ..., None],
+                      jnp.asarray(b)[None, ..., None]))
+
+    model = create_model(name)
+    variables = model.init(jax.random.PRNGKey(0), *pairs[0], train=False)
+    amax = calibrate(model, variables, pairs)
+
+    def scores(a, b, out):
+        s = 0.5 * (calc_ssim(a, out, data_range=1.0)
+                   + calc_ssim(b, out, data_range=1.0))
+        qa = calc_Qabf(a * 255, b * 255, out * 255)
+        return float(s), float(qa)
+
+    bases = []
+    for a, b in pairs:
+        with fast_inference():
+            base = model.apply(variables, a, b, train=False)
+        bases.append(jnp.clip(base.astype(jnp.float32), 0, 1))
+
+    for extra in CONFIGS:
+        skip = HIW_BF16 + ("," + extra if extra else "")
+        os.environ["MMIF_INT8_SKIP"] = skip
+        d_ssim = d_qabf = 0.0
+        for (a, b), base in zip(pairs, bases):
+            with fast_inference(), quantized_inference(amax):
+                q = model.apply(variables, a, b, train=False)
+            q = jnp.clip(q.astype(jnp.float32), 0, 1)
+            s0, q0 = scores(a, b, base)
+            s1, q1 = scores(a, b, q)
+            d_ssim = max(d_ssim, abs(s1 - s0))
+            d_qabf = max(d_qabf, abs(q1 - q0))
+        print(json.dumps({
+            "probe": "int8_ablate", "model": name, "skip": skip,
+            "d_ssim": round(d_ssim, 6), "d_qabf": round(d_qabf, 6),
+            "ok": d_ssim <= 1e-3 and d_qabf <= 1e-3}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,7 @@ def parse(path):
         if line.startswith("==="):
             cur = None
             if "headline bench post g-table" in line \
+                    or "headline bench post dec g-table" in line \
                     or "headline bench (current default" in line \
                     or "headline bench with hiw chain" in line:
                 cur = "bf16"

@@ -714,11 +714,13 @@ class ConvLayer(nn.Module):
                     return y
             elif self.groups > 1 and self.groups == in_ch \
                     and self.out_ch == in_ch \
-                    and os.environ.get("MMIF_DW_SHIFTED", "1") != "0":
-                # MMIF_DW_SHIFTED=0 reverts to XLA's grouped conv (A/B
-                # measurement: the shifted form went in on a per-op
-                # argument but the myfusion e2e number moved 16.1 -> 10.6
-                # in the same window — tools/r4_tpu_queue8.sh decides)
+                    and os.environ.get("MMIF_DW_SHIFTED", "0") != "0":
+                # default OFF: the round-4 queue-12 A/B measured the
+                # shifted form LOSING end to end (myfusion b8 10.62 vs
+                # 16.10 pairs/s with XLA's grouped conv,
+                # docs/r4_queue_results.log) — the per-op win didn't
+                # survive XLA's fusion decisions around it.
+                # MMIF_DW_SHIFTED=1 re-enables for probes.
                 y = depthwise_conv_shifted(x, kernel, stride=self.stride,
                                            dilation=self.dilation)
             else:
@@ -733,14 +735,16 @@ class ConvLayer(nn.Module):
                 )
         elif self.ksize == 3 and self.stride == 2 and pad == 1 \
                 and self.groups == 1 \
-                and os.environ.get("MMIF_SUBPIXEL_DECONV", "1") != "0":
-            # the zoo's only transpose config (SEDRFuse dec0/dec1,
-            # reference core/model.py:260-263): subpixel phase
-            # decomposition instead of a zero-stuffed lhs-dilated conv.
-            # out[2i+di, 2j+dj] only ever touches the flipped-kernel taps
-            # of parity (di, dj), so the transpose conv is exactly four
-            # shifted 1x1-dot phases interleaved back subpixel-style —
-            # all MXU matmuls, no dilation scatter.
+                and os.environ.get("MMIF_SUBPIXEL_DECONV", "0") != "0":
+            # default OFF: the round-4 queue-12 A/B measured subpixel
+            # phases LOSING end to end (sedrfuse b8 28.82 vs 37.81
+            # pairs/s with the lhs-dilated XLA conv,
+            # docs/r4_queue_results.log). MMIF_SUBPIXEL_DECONV=1
+            # re-enables for probes. The formulation: the zoo's only
+            # transpose config (SEDRFuse dec0/dec1, reference
+            # core/model.py:260-263) as four shifted 1x1-dot phases
+            # interleaved back subpixel-style — all MXU matmuls, no
+            # dilation scatter (per-op 1.8-3.2x, tools/probe_sedr.py).
             y = transpose_conv_s2(x, kernel)
         else:
             # torch ConvTranspose2d(k, s, p, output_padding=1): out = in * s

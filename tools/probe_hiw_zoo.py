@@ -1,11 +1,13 @@
-"""TPU parity + timing for the multi-leg H-major zoo paths (round 4).
+"""TPU acceptance + timing for the multi-leg H-major zoo paths.
 
 For each of the six models wired onto conv_hiw_chain_multi
-(DenseFuse/VIFNet/PFNetv1/IFCNN/DIFNet/PMGI), runs the whole forward both
-ways on device — C-major chain (MMIF_CHAIN_HIW_MULTI=0, the current
-default) vs multi-leg H-major (=1) — checks the relative maxdiff at a
-small config, then times both at full res (honest protocol, probe_hiw_e2e
-style). One JSON line per model for tools/r4_autoflip_multi.py.
+(DenseFuse/VIFNet/PFNetv1/IFCNN/DIFNet/PMGI), gates the multi-leg path
+through the round-5 unified acceptance (tools/acceptance.py: end-to-end
+dSSIM/dQabf vs the f32-HIGHEST golden <= 1e-3, plus a loose f32 envelope
+tripwire — raw f32 rel-maxdiff is MXU default-precision noise, see
+tools/probe_precision.py), then times both paths at full res (honest
+protocol, probe_hiw_e2e style). One JSON line per model for
+tools/r5_autoflip_multi.py.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_hiw_zoo.py
 env: B (16), H (1224), W (1024), ITERS (5), MODELS (csv filter)
@@ -18,6 +20,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -55,18 +58,18 @@ def main():
                         return model.apply(vars_, a, b, train=False)
                 return f
 
-            # parity at a small f32 config (kernel-formulation noise only)
-            a = jnp.asarray(r.rand(2, 256, 256, 1), jnp.float32)
-            b = jnp.asarray(r.rand(2, 256, 256, 1), jnp.float32)
-            os.environ["MMIF_CHAIN_HIW_MULTI"] = "0"
-            y0 = np.asarray(fwd(variables)(a, b), np.float32)
-            os.environ["MMIF_CHAIN_HIW_MULTI"] = "1"
-            y1 = np.asarray(fwd(variables)(a, b), np.float32)
-            rel = float(np.abs(y1 - y0).max() / (np.abs(y0).max() + 1e-8))
-            rec["parity"] = rel
-            rec["parity_ok"] = rel < 2e-3
-            print(f"{name}: multi vs cmajor relative maxdiff {rel:.3e} "
-                  f"{'OK' if rec['parity_ok'] else 'FAIL'}", flush=True)
+            # round-5 unified acceptance: dSSIM/dQabf vs f32 golden
+            from acceptance import flip_gate
+            gate = flip_gate(name, {"MMIF_CHAIN_HIW_MULTI": "1"},
+                             limit=int(os.environ.get("LIMIT", "3")),
+                             model=model, variables=variables)
+            rec["d_ssim"] = gate["d_ssim"]
+            rec["d_qabf"] = gate["d_qabf"]
+            rec["trip_rel_f32"] = gate["trip_rel_f32"]
+            rec["parity_ok"] = gate["ok"]
+            print(f"{name}: gate dSSIM {gate['d_ssim']:.2e} dQabf "
+                  f"{gate['d_qabf']:.2e} trip {gate['trip_rel_f32']:.2e} "
+                  f"{'OK' if gate['ok'] else 'FAIL'}", flush=True)
 
             img1 = jnp.asarray(r.rand(B, H, W, 1), jnp.bfloat16)
             img2 = jnp.asarray(r.rand(B, H, W, 1), jnp.bfloat16)

@@ -176,6 +176,31 @@ def main(argv=None):
     if restored.get("batch_stats"):
         variables["batch_stats"] = restored["batch_stats"]
 
+    # strict=False restore (reference test.py:176): a stage-1 AE
+    # checkpoint lacks the fusion params of the full model — fill
+    # missing leaves from a fresh init instead of failing. Structure is
+    # compared via eval_shape first so the common full-checkpoint path
+    # pays no init forward.
+    dummy = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    init_struct = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), dummy, dummy,
+                           train=False))
+    struct_paths = {"/".join(str(k.key) for k in p)
+                    for p, _ in jax.tree_util.tree_flatten_with_path(
+                        init_struct)[0]}
+    have_paths = {"/".join(str(k.key) for k in p)
+                  for p, _ in jax.tree_util.tree_flatten_with_path(
+                      variables)[0]}
+    if struct_paths - have_paths:
+        from ..train.checkpoint import merge_variables
+        init_vars = model.init(jax.random.PRNGKey(0), dummy, dummy,
+                               train=False)
+        variables, miss, unexp = merge_variables(
+            flax.core.unfreeze(init_vars), variables)
+        print(f"partial checkpoint: {len(miss)} leaves kept at init "
+              f"(e.g. {miss[0] if miss else ''}), "
+              f"{len(unexp)} checkpoint-only leaves dropped")
+
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(variables["params"]))
     print(f"params: {n_params / 1e6:.3f}M")

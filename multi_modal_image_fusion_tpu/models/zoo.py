@@ -344,9 +344,12 @@ class DeepFuse(_FusionModel):
                         from ..ops.pallas.hiw_int8 import (
                             conv_hiw_chain_q, hiw_q_ok)
                         from ..ops.quant import quant_skipped
-                        amax = qc.get(layer.name)
+                        # full '/'-joined path — the key `calibrate`
+                        # produces — so the lookup stays correct if this
+                        # chain is reused from a nested module (ADVICE r4)
+                        amax = qc.get("/".join(layer.path))
                         if (amax is not None and layer.out_ch > 1
-                                and not quant_skipped((layer.name,))
+                                and not quant_skipped(tuple(layer.path))
                                 and hiw_q_ok(c_in, layer.out_ch, k)):
                             import numpy as _np
                             amax = _np.asarray(amax, _np.float32)

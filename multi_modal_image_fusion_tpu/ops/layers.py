@@ -648,13 +648,15 @@ class ConvLayer(nn.Module):
                 y = jax.lax.conv_general_dilated(
                     x_dq, w_dq, (1, 1), "VALID",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                y = y.astype(x.dtype)
+                # mirror the kernel epilogue order: bias/norm in f32,
+                # output cast LAST (ADVICE r4 — casting before the bias
+                # was a small emulation mismatch in bf16 runs)
                 if b is not None:
-                    y = y + b.astype(y.dtype)
+                    y = y + b.astype(jnp.float32)
                 if self.norm is not None:
                     post = make_norm(self.norm, self.out_ch, name="norm")
                     y = apply_norm(post, y, train)
-                return get_act(self.act)(y)
+                return get_act(self.act)(y).astype(x.dtype)
             fuse_q = self.norm is None and \
                 (self.act is None or self.act in _FUSABLE_ACTS)
             y = conv_tlane_dma_q(

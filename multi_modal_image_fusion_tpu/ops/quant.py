@@ -63,10 +63,15 @@ def quant_ctx():
 def quant_skipped(path):
     """True if this layer is excluded from int8 — by the active
     quantized_inference(skip=...) set, or by MMIF_INT8_SKIP (comma-
-    separated layer names; env overrides ADD to the context set).
-    Matched against the flax path's last element — e.g. skip=("dec1",)
-    keeps DeepFuse's dec1 in bf16. Mixed precision is the standard cure
-    when a quantized layer blows the accuracy budget
+    separated; env entries ADD to the context set).
+
+    Matching is against the full '/'-joined flax path (the same key
+    `calibrate` produces): an entry with no '/' is a leaf-name suffix
+    convention ("dec1" matches any module whose path ends in dec1); an
+    entry containing '/' must match the joined path exactly — so a skip
+    for one model's layer cannot collide with another model's same-named
+    leaf (ADVICE r4). Mixed precision is the standard cure when a
+    quantized layer blows the accuracy budget
     (tools/int8_acceptance.py, tools/probe_int8_ablate.py)."""
     import os
     if not path:
@@ -75,7 +80,11 @@ def quant_skipped(path):
     env = os.environ.get("MMIF_INT8_SKIP")
     if env:
         names.update(env.split(","))
-    return path[-1] in names
+    joined = "/".join(path)
+    for n in names:
+        if ("/" in n and joined == n) or ("/" not in n and path[-1] == n):
+            return True
+    return False
 
 
 class quantized_inference:

@@ -41,3 +41,33 @@ def load_checkpoint_meta(path):
         with open(meta_path) as f:
             return json.load(f)
     return {}
+
+
+def merge_variables(init_vars, restored_vars):
+    """strict=False restore (reference test.py:176): leaves present in
+    the checkpoint override the freshly initialized tree; leaves the
+    checkpoint lacks stay at init (e.g. fusion params when testing a
+    stage-1 autoencoder checkpoint); checkpoint-only leaves are dropped.
+
+    Both arguments are nested dict pytrees (flax variables or a single
+    collection). Returns (merged, missing_paths, unexpected_paths)."""
+    missing, unexpected = [], []
+
+    def walk(init_t, rest_t, path):
+        if not isinstance(init_t, dict):
+            return rest_t
+        out = {}
+        rest_t = rest_t if isinstance(rest_t, dict) else {}
+        for k, v in init_t.items():
+            p = f"{path}/{k}" if path else k
+            if k in rest_t:
+                out[k] = walk(v, rest_t[k], p)
+            else:
+                missing.append(p)
+                out[k] = v
+        for k in rest_t:
+            if k not in init_t:
+                unexpected.append(f"{path}/{k}" if path else k)
+        return out
+
+    return walk(init_vars, restored_vars, ""), missing, unexpected

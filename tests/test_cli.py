@@ -201,3 +201,42 @@ def test_train_full_res(tiny_dataset, tmp_path):
     assert os.path.isfile(os.path.join(ckpt_dir, "epoch_last.ckpt"))
     log = open(os.path.join(ckpt_dir, "train.log")).read()
     assert "cost time" in log
+
+
+def test_partial_checkpoint_restore(tiny_dataset, tmp_path):
+    """strict=False-equivalent restore (reference test.py:176): the test
+    CLI must run a checkpoint missing parameter subtrees (a stage-1 AE
+    checkpoint lacks the fusion params), keeping missing leaves at
+    init."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_image_fusion_tpu.cli import test as test_cli
+    from multi_modal_image_fusion_tpu.models import create_model
+
+    model = create_model("difnet")
+    dummy = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy,
+                           train=False)
+    params = flax.core.unfreeze(variables)["params"]
+    # drop the learned concat-fuse conv (what an AE-stage run never
+    # trains, reference model.py:548-552)
+    fuse_keys = [k for k in params if "fuse" in k.lower()]
+    assert fuse_keys, list(params)
+    for k in fuse_keys:
+        del params[k]
+
+    ckpt_dir = tmp_path / "checkpoints" / "ae-stage"
+    os.makedirs(ckpt_dir)
+    blob = flax.serialization.msgpack_serialize({"params": params})
+    (ckpt_dir / "epoch_best.ckpt").write_bytes(blob)
+    (ckpt_dir / "epoch_best.ckpt.json").write_text(
+        json.dumps({"model": "difnet"}))
+
+    ssim, _ = test_cli.main([
+        "--data", "tinyset", "--data_root", tiny_dataset,
+        "--ckpt_root", str(tmp_path / "checkpoints"),
+        "--ckpt", "ae-stage",
+    ])
+    assert np.isfinite(ssim)

@@ -51,6 +51,11 @@ def main():
         calibrate, quantized_inference)
 
     name = sys.argv[1] if len(sys.argv) > 1 else "deepfuse"
+    # HIW_BF16 and CONFIGS hardcode deepfuse's layer names/eligibility;
+    # on any other model the skip names would match nothing and the
+    # printed verdicts would be meaningless (ADVICE r4)
+    assert name == "deepfuse", \
+        "probe_int8_ablate's CONFIGS are deepfuse-specific"
     limit = int(os.environ.get("LIMIT", "2"))
 
     sample_root = os.environ.get(

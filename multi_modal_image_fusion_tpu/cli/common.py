@@ -105,7 +105,7 @@ def get_train_parser():
                         "192-201) when one image's activations exceed a "
                         "chip — pair with --no-use_patches --no-fix_size. "
                         "Norm-free stride-1 models only; 0/1 = off")
-    p.add_argument("--amp", default=None, choices=["bf16"],
+    p.add_argument("--amp", default=None, choices=["bf16", "f32"],
                    help="mixed-precision train compute: f32 master params "
                         "cast to bf16 at the model boundary (MXU-native); "
                         "loss stack and Adam moments stay f32 "

@@ -70,8 +70,8 @@ class Trainer:
         # amp='bf16': mixed-precision train compute — f32 master params
         # cast to bf16 at the model boundary (MXU-native), loss stack and
         # Adam moments stay f32. Valid steps stay f32 end to end.
-        assert amp in (None, "bf16"), amp
-        self.amp = amp
+        assert amp in (None, "f32", "bf16"), amp
+        self.amp = None if amp == "f32" else amp
         # spatial>1: height-shard each image over the mesh instead of
         # sharding the batch — full-resolution training without the
         # reference's 256-crop escape hatch (train.py:192-201), exact

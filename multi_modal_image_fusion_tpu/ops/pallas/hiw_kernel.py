@@ -62,10 +62,10 @@ def hiw_enabled():
 # Default for the multi-leg H-major zoo paths (DenseFuse/VIFNet/PFNetv1/
 # IFCNN/DIFNet/PMGI). Flipped per measured TPU parity + timing
 # (tools/probe_hiw_zoo.py + tools/r4_autoflip_multi.py), r4_autoflip style.
-HIW_MULTI_DEFAULT = False
+HIW_MULTI_DEFAULT = True
 # Models the TPU sweep measured SLOWER on the multi-leg path (autoflip
 # writes losers here; MMIF_CHAIN_HIW_MULTI=1 still force-enables them).
-HIW_MULTI_BLOCKLIST = ()
+HIW_MULTI_BLOCKLIST = ("difnet", "ifcnn", "pfnetv1", "vifnet", )
 
 
 def hiw_multi_enabled(model=None):

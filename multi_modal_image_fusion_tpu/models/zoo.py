@@ -333,39 +333,73 @@ class DeepFuse(_FusionModel):
                                                      hiw_enter, hiw_exit)
 
                 t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+                chain_dtype = t.dtype
 
-                def hconv(t, layer, c_in, fuse_n=0):
+                def _leg_amax(layer, c_in, k):
+                    """Calibrated amax if this leg runs int8 (the thin
+                    entry/exit layers — c_in=1 / c_out=1 — stay bf16)."""
+                    if qc is None:
+                        return None
+                    from ..ops.pallas.hiw_int8 import hiw_q_ok
+                    from ..ops.quant import quant_skipped
+                    # full '/'-joined path — the key `calibrate`
+                    # produces — so the lookup stays correct if this
+                    # chain is reused from a nested module (ADVICE r4)
+                    amax = qc.get("/".join(layer.path))
+                    if (amax is not None and layer.out_ch > 1
+                            and not quant_skipped(tuple(layer.path))
+                            and hiw_q_ok(c_in, layer.out_ch, k)):
+                        import numpy as _np
+                        amax = _np.asarray(amax, _np.float32)
+                        if amax.shape == (c_in,) and amax.max() > 0:
+                            return amax
+                    return None
+
+                def hconv(t, layer, c_in, fuse_n=0, out_scale=None):
                     wgt, bias, k, act = layer(None, chain_hw=(h, w),
                                               chain_defer_in_ch=c_in)
-                    if qc is not None:
-                        # int8 leg when this layer has a calibrated amax
-                        # and hits the int8 alignment contract; the thin
-                        # entry/exit layers (c_in=1 / c_out=1) stay bf16
-                        from ..ops.pallas.hiw_int8 import (
-                            conv_hiw_chain_q, hiw_q_ok)
-                        from ..ops.quant import quant_skipped
-                        # full '/'-joined path — the key `calibrate`
-                        # produces — so the lookup stays correct if this
-                        # chain is reused from a nested module (ADVICE r4)
-                        amax = qc.get("/".join(layer.path))
-                        if (amax is not None and layer.out_ch > 1
-                                and not quant_skipped(tuple(layer.path))
-                                and hiw_q_ok(c_in, layer.out_ch, k)):
-                            import numpy as _np
-                            amax = _np.asarray(amax, _np.float32)
-                            if amax.shape == (c_in,) and amax.max() > 0:
-                                return conv_hiw_chain_q(
-                                    t, wgt, k, h=h, w_valid=w, c_in=c_in,
-                                    amax=jnp.asarray(amax), bias=bias,
-                                    act=act, fuse_n=fuse_n,
-                                    interpret=interp)
+                    amax = _leg_amax(layer, c_in, k)
+                    if amax is not None:
+                        from ..ops.pallas.hiw_int8 import conv_hiw_chain_q
+                        return conv_hiw_chain_q(
+                            t, wgt, k, h=h, w_valid=w, c_in=c_in,
+                            amax=jnp.asarray(amax), bias=bias,
+                            act=act, fuse_n=fuse_n, out_scale=out_scale,
+                            out_dtype=chain_dtype, interpret=interp)
                     return conv_hiw_chain(
                         t, wgt.astype(t.dtype), k, h=h, w_valid=w,
                         c_in=c_in, bias=bias, act=act, fuse_n=fuse_n,
                         interpret=interp)
 
+                # int8-RESIDENT enc1->dec0 hop (round 5): when both fat
+                # legs run int8 and the hop meets the (32,128) int8 tile
+                # alignment contract, enc1 requantizes its epilogue onto
+                # dec0's fold grid (out_scale) and emits an int8 chain
+                # tensor — half the DMA bytes on the fattest inter-layer
+                # tensor, and dec0 skips its per-strip quantize pass.
+                enc1_scale = None
+                if qc is not None and self.fusion_mode == "sum":
+                    from ..ops.pallas.hiw_int8 import (hiw_fold_scale,
+                                                       hiw_q_res_ok,
+                                                       hiw_res_enabled)
+                    from ..ops.pallas.hiw_kernel import hiw_pick_g
+                    k1 = self.enc[1].ksize
+                    k0 = self.dec[0].ksize
+                    c1 = self.enc[1].out_ch  # == dec0 c_in after fuse
+                    a1 = _leg_amax(self.enc[1], 16, k1)
+                    a0 = _leg_amax(self.dec[0], c1, k0)
+                    g1 = hiw_pick_g(16, c1, k1)
+                    g0 = hiw_pick_g(c1, self.dec[0].out_ch, k0)
+                    if (hiw_res_enabled() and a1 is not None
+                            and a0 is not None
+                            and self.enc[1].act in (None, "relu")
+                            and hiw_q_res_ok(c1, k0, g1, g0)):
+                        w0 = self.dec[0](None, chain_hw=(h, w),
+                                         chain_defer_in_ch=c1)[0]
+                        enc1_scale = hiw_fold_scale(jnp.asarray(a0), w0)
+
                 t = hconv(t, self.enc[0], 1)
-                t = hconv(t, self.enc[1], 16)
+                t = hconv(t, self.enc[1], 16, out_scale=enc1_scale)
                 if self.fusion_mode == "sum":
                     t = hconv(t, self.dec[0], 32, fuse_n=n)
                 else:

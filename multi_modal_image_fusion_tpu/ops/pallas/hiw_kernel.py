@@ -117,7 +117,10 @@ def hiw_exit(xt, h, w):
 # dominates the group-launch amortization once c_out is wide enough.
 HIW_G_TABLE = {
     (1, 16, 5): 16,
-    (32, 32, 7): 2,
+    (16, 1, 5): 16,
+    (16, 32, 7): 2,
+    (32, 32, 7): 4,
+    (64, 32, 3): 2,
 }
 
 

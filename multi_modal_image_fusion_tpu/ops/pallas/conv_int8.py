@@ -57,7 +57,7 @@ def quantize_input(x, amax=None):
     return q, scale
 
 
-def choose_fold(amax, w, mode="smooth"):
+def choose_fold(amax, w, mode="smooth", alpha=None, clip=None):
     """Per-input-channel quantization scale f_c for x, consistent with a
     weight fold by the SAME f_c (the int dot's per-channel scales must
     cancel: qx=x/f_c, w_fold=w*f_c, then the per-output-channel weight
@@ -84,8 +84,21 @@ def choose_fold(amax, w, mode="smooth"):
 
     amax: (C_in,) calibrated activation max-abs. w: HWIO float weights.
     Returns f (C_in,) f32; dead channels (amax==0 or wmax==0) get 1.0.
+
+    alpha generalizes the smooth fold, f_c = beta*(amax_c/wmax_c)^alpha
+    (0.5 = the SmoothQuant sqrt; ->0 leans precision toward weights,
+    ->1 toward activations). clip scales the calibrated amax by a ratio
+    <1 BEFORE the fold — the classic outlier-clipping PTQ lever: the
+    rare tail values saturate at ±127 while every in-range value gains
+    quantizer resolution. Defaults come from MMIF_INT8_ALPHA /
+    MMIF_INT8_CLIP (trace-time), else 0.5 / 1.0 (exact prior behavior).
     """
-    amax = jnp.asarray(amax, jnp.float32)
+    import os
+    if alpha is None:
+        alpha = float(os.environ.get("MMIF_INT8_ALPHA", "0.5"))
+    if clip is None:
+        clip = float(os.environ.get("MMIF_INT8_CLIP", "1.0"))
+    amax = jnp.asarray(amax, jnp.float32) * clip
     wmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 3))
     live = (amax > 0) & (wmax > 0)
     # dead channels (never-activating post-relu features are common, and
@@ -100,9 +113,11 @@ def choose_fold(amax, w, mode="smooth"):
         return jnp.where(amax > 0, amax / 127.0, g)
     if mode == "tensor":
         return jnp.full_like(amax, g)
-    ratio = jnp.sqrt(amax / jnp.where(live, wmax, 1.0))
-    # no-clip: f_c >= amax_c/127  =>  beta >= sqrt(amax_c*wmax_c)/127
-    beta = jnp.max(jnp.where(live, jnp.sqrt(amax * wmax), 0.0)) / 127.0
+    ratio = (amax / jnp.where(live, wmax, 1.0)) ** alpha
+    # no-clip (relative to the possibly clipped amax):
+    # f_c >= amax_c/127  =>  beta >= amax_c^(1-alpha) * wmax_c^alpha /127
+    beta = jnp.max(jnp.where(
+        live, amax ** (1.0 - alpha) * wmax ** alpha, 0.0)) / 127.0
     f = beta * ratio
     return jnp.where(live, f, g)
 

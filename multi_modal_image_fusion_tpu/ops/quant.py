@@ -43,11 +43,15 @@ _QUANT_CTX = contextvars.ContextVar("mmif_quant", default=None)
 _QUANT_SKIP = contextvars.ContextVar("mmif_quant_skip", default=())
 
 # Measured mixed-precision defaults: layers whose int8 error blows the
-# 1e-3 SSIM/Qabf budget stay bf16 (the standard PTQ cure). deepfuse/dec1
-# from tools/probe_int8_ablate.py: full hiw-q set dQabf 2.1e-3 (matches
-# the TPU acceptance failure, 2.63e-3); skipping dec1 alone -> 3.1e-4
-# while the two fat k7 layers (~88% of the FLOPs) stay int8.
-DEFAULT_INT8_SKIP = {"deepfuse": ("dec1",)}
+# 1e-3 SSIM/Qabf budget stay bf16 (the standard PTQ cure). Round-5
+# finding (tools/probe_int8_fold.py): the round-4 dec1 skip was a
+# CALIBRATION-COVERAGE artifact — with 2 calibration pairs the full
+# hiw-q set measured dQabf 2.1e-3, with 3+ pairs it drops to 2.5e-4 and
+# BEATS the skip-dec1 config (4.4e-4). Acceptance now calibrates on
+# CALIB=8 pairs (tools/int8_acceptance.py); no skips needed. The r5
+# autoflip (tools/r5_autoflip_int8.py) re-adds dec1 here if the TPU
+# acceptance disagrees.
+DEFAULT_INT8_SKIP = {}
 
 
 def default_skip(model_name):

@@ -773,6 +773,9 @@ class NestFuse(_FusionModel):
     up_mode: str = "nearest"
     fusion_mode: str = "sca"
     num_ch: Sequence[int] = (64, 112, 160, 208)
+    # H-major whole-model path available (_hiw_forward); MAFusion's
+    # FSDecoder has no hiw route yet and opts out
+    _hiw_ok: bool = True
 
     def setup(self):
         ch = self.num_ch
@@ -819,6 +822,10 @@ class NestFuse(_FusionModel):
         if (img2 is not None and not train and chain_ready()
                 and self.down_mode == "maxpool"
                 and self.fusion_mode in ("sa", "ca", "sca", "wavg")):
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if self._hiw_ok and hiw_multi_enabled(
+                    type(self).__name__.lower()):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.chain_ops import chain_max_pool
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
@@ -848,6 +855,54 @@ class NestFuse(_FusionModel):
                              valid_hw=hw)
             for f, hw in zip(feats, hws))
 
+    def _hiw_forward(self, img1, img2):
+        """H-major multi-leg whole-model path (round 5, VERDICT #4): the
+        U-Net++ decoder's concat-consuming convs run all their parts in
+        one strip kernel (ops/pallas/hiw_scale.py), the reform that took
+        DenseFuse 27.7 -> 196.9 pairs/s. Scale boundaries (maxpool,
+        nearest/bilinear up) and the per-scale attention fusion stay on
+        the H-major valid view. Reference model.py:846-905 forward."""
+        from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
+        from ..ops.pallas.hiw_scale import hiw_conv, hiw_max_pool
+
+        interp = _hiw_interp()
+        ch = self.num_ch
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+        hws = [(h, w)]
+        for _ in range(3):
+            ph, pw = hws[-1]
+            hws.append((ph // 2, pw // 2))
+
+        def cb(blk, t, c_in, hw):
+            p1, p2 = blk(None, False, chain_hw=hw,
+                         chain_defer_in_chs=(c_in,))
+            y = hiw_conv(t, p1, c_in, *hw, interpret=interp)
+            return hiw_conv(y, p2, c_in // 2, *hw, interpret=interp)
+
+        t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+        x = hiw_conv(t, self.conv_in(None, chain_hw=hws[0],
+                                     chain_defer_in_ch=1), 1, *hws[0],
+                     interpret=interp)
+        x1 = cb(self.CB1_0, x, 16, hws[0])
+        d1, _ = hiw_max_pool(x1, ch[0], *hws[0])
+        x2 = cb(self.CB2_0, d1, ch[0], hws[1])
+        d2, _ = hiw_max_pool(x2, ch[1], *hws[1])
+        x3 = cb(self.CB3_0, d2, ch[1], hws[2])
+        d3, _ = hiw_max_pool(x3, ch[2], *hws[2])
+        x4 = cb(self.CB4_0, d3, ch[2], hws[3])
+        fused = self._hiw_fuse((x1, x2, x3, x4), n, hws)
+        y = self.decode(fused, train=False, chain_hws=hws, hiw=True)
+        out = hiw_conv(y, self.conv_out(None, chain_hw=hws[0],
+                                        chain_defer_in_ch=ch[0]),
+                       ch[0], *hws[0], interpret=interp)
+        return hiw_exit(out, h, w)
+
+    def _hiw_fuse(self, feats, n, hws):
+        from ..ops.pallas.hiw_scale import hiw_attention_fusion
+        return tuple(
+            hiw_attention_fusion(f, n, c, *hw, mode=self.fusion_mode)
+            for f, c, hw in zip(feats, self.num_ch, hws))
+
 
 class RFNNest(NestFuse):
     """NestFuse + learned per-scale RFN fusion modules."""
@@ -871,6 +926,12 @@ class RFNNest(NestFuse):
         rfns = (self.RFN1, self.RFN2, self.RFN3, self.RFN4)
         return tuple(
             r(f[:n], f[n:], train=False, chain_hw=hw)
+            for r, f, hw in zip(rfns, feats, hws))
+
+    def _hiw_fuse(self, feats, n, hws):
+        rfns = (self.RFN1, self.RFN2, self.RFN3, self.RFN4)
+        return tuple(
+            r(f, train=False, chain_hw=hw, hiw_n=n)
             for r, f, hw in zip(rfns, feats, hws))
 
 
@@ -1017,6 +1078,7 @@ class MAFusion(NestFuse):
     down_mode: str = "maxpool"
     up_mode: str = "bilinear"
     num_ch: Sequence[int] = (64, 128, 256, 512)
+    _hiw_ok: bool = False  # FSDecoder has no hiw route yet
 
     def setup(self):
         ch = self.num_ch

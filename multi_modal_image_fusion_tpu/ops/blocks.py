@@ -493,9 +493,23 @@ class ConvBlock(nn.Module):
     ksize2: int = 1
 
     @nn.compact
-    def __call__(self, x, train=False, chain_hw=None):
+    def __call__(self, x, train=False, chain_hw=None,
+                 chain_defer_in_chs=None):
         # x may be a tuple of chain tensors (decomposed concat: ConvLayer
         # computes conv(concat(x)) as a sum of per-part convs)
+        if chain_defer_in_chs is not None:
+            # H-major defer mode (ops/pallas/hiw_scale.py): hand back the
+            # two folded (kernel, bias, k, act) tuples; the caller runs
+            # the first conv as a multi-leg hiw kernel over the parts.
+            # Param shapes match the eager path exactly (in_ch = sum).
+            hid_ch = sum(chain_defer_in_chs) // 2
+            p1 = ConvLayer(hid_ch, ksize=self.ksize1, name="conv1")(
+                None, train, chain_hw=chain_hw,
+                chain_defer_in_ch=sum(chain_defer_in_chs))
+            p2 = ConvLayer(self.out_ch, ksize=self.ksize2, name="conv2")(
+                None, train, chain_hw=chain_hw,
+                chain_defer_in_ch=hid_ch)
+            return p1, p2
         if isinstance(x, (tuple, list)):
             hid_ch = sum(t.shape[1] for t in x) // 2
         else:
@@ -526,7 +540,37 @@ class RFN(nn.Module):
     num_ch: int
 
     @nn.compact
-    def __call__(self, x1, x2, train=False, chain_hw=None):
+    def __call__(self, x1, x2=None, train=False, chain_hw=None,
+                 hiw_n=None):
+        if hiw_n is not None:
+            # H-major multi-leg path (ops/pallas/hiw_scale.py): x1 is the
+            # full 2n-batch H-major tensor [feats1; feats2]; the 2c-in
+            # convs (res, fuse1) run both halves as b_off legs of one
+            # strip kernel. Param names/shapes match the eager path.
+            import os
+
+            from .pallas.hiw_scale import hiw_conv, hiw_mconv
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+            c, n, f = self.num_ch, hiw_n, x1
+            h, w = chain_hw
+
+            def dfr(name, ksize, c_in):
+                return ConvLayer(c, ksize=ksize, name=name)(
+                    None, train, chain_hw=chain_hw,
+                    chain_defer_in_ch=c_in)
+
+            f_res = hiw_mconv([(f, c, 0), (f, c, n)],
+                              dfr("res", 3, 2 * c), h, w, n_out=n,
+                              interpret=interp)
+            f1 = hiw_conv(f[:n], dfr("conv1", 3, c), c, h, w,
+                          interpret=interp)
+            f2 = hiw_conv(f[n:], dfr("conv2", 3, c), c, h, w,
+                          interpret=interp)
+            y = hiw_mconv([(f1, c, 0), (f2, c, 0)], dfr("fuse1", 1, 2 * c),
+                          h, w, n_out=n, interpret=interp)
+            y = hiw_conv(y, dfr("fuse2", 3, c), c, h, w, interpret=interp)
+            y = hiw_conv(y, dfr("fuse3", 3, c), c, h, w, interpret=interp)
+            return y + f_res
         chain = chain_hw is not None
         # chain tensors pass as part-tuples: ConvLayer computes
         # conv(concat(...)) as summed per-part convs, skipping the concat
@@ -691,8 +735,54 @@ class NestDecoder(nn.Module):
     up_mode: str = "bilinear"
 
     @nn.compact
-    def __call__(self, feats, train=False, chain_hws=None):
+    def __call__(self, feats, train=False, chain_hws=None, hiw=False):
         blk = self.block
+        if hiw:
+            # H-major multi-leg path (round 5, ops/pallas/hiw_scale.py):
+            # every DB block's concat-consuming first conv runs ALL its
+            # parts in one strip kernel (conv_hiw_chain_multi) instead of
+            # summed per-part launches. feats: per-scale H-major tensors
+            # of self.num_ch channels; chain_hws: per-scale valid (h, w).
+            import os
+
+            from .pallas.hiw_scale import hiw_conv, hiw_mconv, \
+                hiw_upsample
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+            hws = chain_hws
+            ch = self.num_ch
+            n = feats[0].shape[0]
+
+            def up(xt, c, i_from, i_to):
+                return hiw_upsample(xt, c, *hws[i_from], hws[i_to], 2,
+                                    self.up_mode)
+
+            def run(name, out_ch, legs, i):
+                cs = tuple(c for _, c in legs)
+                p1, p2 = blk(out_ch, name=name)(
+                    None, train, chain_hw=hws[i],
+                    chain_defer_in_chs=cs)
+                y = hiw_mconv([(t, c, 0) for t, c in legs], p1,
+                              *hws[i], n_out=n, interpret=interp)
+                return hiw_conv(y, p2, sum(cs) // 2, *hws[i],
+                                interpret=interp)
+
+            f = list(zip(feats, ch))
+            x1_1 = run("DB1_1", ch[0],
+                       [f[0], (up(f[1][0], ch[1], 1, 0), ch[1])], 0)
+            x2_1 = run("DB2_1", ch[1],
+                       [f[1], (up(f[2][0], ch[2], 2, 1), ch[2])], 1)
+            x3_1 = run("DB3_1", ch[2],
+                       [f[2], (up(f[3][0], ch[3], 3, 2), ch[3])], 2)
+            x1_2 = run("DB1_2", ch[0],
+                       [f[0], (x1_1, ch[0]),
+                        (up(x2_1, ch[1], 1, 0), ch[1])], 0)
+            x2_2 = run("DB2_2", ch[1],
+                       [f[1], (x2_1, ch[1]),
+                        (up(x3_1, ch[2], 2, 1), ch[2])], 1)
+            x1_3 = run("DB1_3", ch[0],
+                       [f[0], (x1_1, ch[0]), (x1_2, ch[0]),
+                        (up(x2_2, ch[1], 1, 0), ch[1])], 0)
+            return x1_3
         if chain_hws is not None:
             from .pallas.chain_ops import chain_upsample
             hws = chain_hws

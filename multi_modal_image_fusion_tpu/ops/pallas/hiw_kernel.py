@@ -65,7 +65,10 @@ def hiw_enabled():
 HIW_MULTI_DEFAULT = True
 # Models the TPU sweep measured SLOWER on the multi-leg path (autoflip
 # writes losers here; MMIF_CHAIN_HIW_MULTI=1 still force-enables them).
-HIW_MULTI_BLOCKLIST = ("difnet", "ifcnn", "pfnetv1", "vifnet", )
+HIW_MULTI_BLOCKLIST = ("difnet", "ifcnn", "pfnetv1", "vifnet",
+                       # round-5 nest wiring: C-major default until the
+                       # queue measures + gates them (r5_autoflip_multi)
+                       "nestfuse", "rfnnest", )
 
 
 def hiw_multi_enabled(model=None):

@@ -1,0 +1,202 @@
+"""Scale-transition + attention-fusion ops on H-MAJOR chain tensors.
+
+Round-5 heavy-tail lever (VERDICT #4): the multi-scale nest models
+(NestFuse, RFNNest, ...) ran the round-3 C-MAJOR guard-layout chain,
+whose concat-consuming decoder convs decompose into summed per-part
+kernel launches; the round-4/5 H-major multi-leg kernel
+(hiw_kernel.conv_hiw_chain_multi) does all legs inside ONE strip loop —
+the same reform that took DenseFuse 27.7 -> 196.9 pairs/s. These
+helpers carry the H-major layout (B, HG*C, Wp), row = h*C + c, across
+the scale boundaries the nest decoders need:
+
+    hiw_valid / hiw_place    valid-region NHCW view <-> fresh guard buffer
+    hiw_max_pool             maxpool down (reference block.py:941-951)
+    hiw_upsample             nearest / bilinear(align_corners) up +
+                             reflect pad-to-shape (block.py:965-991)
+    hiw_resize               pad_to-only repair
+    hiw_attention_fusion     per-scale sa/ca/sca/wavg fusion
+                             (reference core/fusion.py:42-59)
+    hiw_conv / hiw_mconv     deferred-ConvLayer single-leg / multi-leg
+                             conv wrappers (shared by models/zoo.py and
+                             the nest decoders in ops/blocks.py)
+
+All scale/fusion ops are XLA on the valid NHCW view — one elementwise
+pass each, between convs that dominate; fresh buffers keep guards zero
+(the hiw conv kernels mirror halos in-kernel, hiw_kernel._mirror).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .conv_kernel import CHAIN_GUARD, CHAIN_WG, chain_shape
+
+__all__ = ["hiw_valid", "hiw_place", "hiw_max_pool", "hiw_upsample",
+           "hiw_resize", "hiw_attention_fusion", "hiw_conv", "hiw_mconv"]
+
+
+def hiw_valid(xt, c, h, w):
+    """(B, HG*C, Wp) H-major chain tensor -> valid NHCW view
+    (B, h, C, w)."""
+    b, hgc, wp = xt.shape
+    v = xt.reshape(b, hgc // c, c, wp)
+    return v[:, CHAIN_GUARD:CHAIN_GUARD + h, :,
+             CHAIN_WG:CHAIN_WG + w]
+
+
+def hiw_place(v):
+    """(B, h, C, w) NHCW -> fresh H-major chain tensor (B, HG*C, Wp).
+    Guards stay zero: the hiw conv kernels mirror halos in-kernel."""
+    b, h, c, w = v.shape
+    hg, wp = chain_shape(h, w)
+    out = jnp.zeros((b, hg, c, wp), v.dtype)
+    out = jax.lax.dynamic_update_slice(
+        out, v, (0, CHAIN_GUARD, 0, CHAIN_WG))
+    return out.reshape(b, hg * c, wp)
+
+
+def _pad_to_nhcw(v, th, tw):
+    """Reflect-pad/crop NHCW (B, h, C, w) to (th, tw) — torch
+    ReflectionPad2d semantics incl. negative padding (crop), mirroring
+    chain_ops._pad_to_nchw / blocks.pad_to (reference block.py:954-962)."""
+    fh, fw = v.shape[1], v.shape[3]
+    if (fh, fw) == (th, tw):
+        return v
+    pad_h, pad_w = th - fh, tw - fw
+    ph1, pw1 = pad_h // 2, pad_w // 2
+    ph2, pw2 = pad_h - ph1, pad_w - pw1
+
+    def split(lo, hi, size):
+        crop_lo = max(-lo, 0)
+        crop_hi = max(-hi, 0)
+        return crop_lo, size - crop_lo - crop_hi, max(lo, 0), max(hi, 0)
+
+    ch_lo, ch_len, ph1p, ph2p = split(ph1, ph2, fh)
+    cw_lo, cw_len, pw1p, pw2p = split(pw1, pw2, fw)
+    v = v[:, ch_lo:ch_lo + ch_len, :, cw_lo:cw_lo + cw_len]
+    if ph1p or ph2p or pw1p or pw2p:
+        v = jnp.pad(v, ((0, 0), (ph1p, ph2p), (0, 0), (pw1p, pw2p)),
+                    mode="reflect")
+    return v
+
+
+def hiw_max_pool(xt, c, h, w, window=2, to_hw=None):
+    """Maxpool `window` (stride == window) over the valid region;
+    optional pad-to-shape repair. Returns (new tensor, (h', w'))."""
+    v = hiw_valid(xt, c, h, w)
+    p = jax.lax.reduce_window(
+        v, -jnp.inf if v.dtype != jnp.int8 else jnp.int8(-128),
+        jax.lax.max, (1, window, 1, window), (1, window, 1, window),
+        "VALID")
+    if to_hw is not None:
+        p = _pad_to_nhcw(p, *to_hw)
+    return hiw_place(p), (p.shape[1], p.shape[3])
+
+
+def _interp_nhcw(v, scale, mode):
+    """torch nn.Upsample on the NHCW view: nearest (floor) or bilinear
+    align_corners=True (mirrors chain_ops._interp_nchw, reference
+    block.py:965-973)."""
+    b, h, c, w = v.shape
+    oh, ow = h * scale, w * scale
+    if mode == "nearest":
+        return jnp.repeat(jnp.repeat(v, scale, axis=1), scale, axis=3)
+    if mode == "bilinear":
+        def axis_weights(insize, outsize):
+            if outsize == 1 or insize == 1:
+                lo = jnp.zeros((outsize,), jnp.int32)
+                return lo, lo, jnp.zeros((outsize,), v.dtype)
+            src = jnp.arange(outsize, dtype=jnp.float32) * (
+                (insize - 1) / (outsize - 1))
+            lo = jnp.floor(src).astype(jnp.int32)
+            lo = jnp.clip(lo, 0, insize - 2)
+            t = (src - lo).astype(v.dtype)
+            return lo, lo + 1, t
+
+        hlo, hhi, ht = axis_weights(h, oh)
+        wlo, whi, wt = axis_weights(w, ow)
+        top = v[:, hlo][:, :, :, wlo] * (1 - wt) + \
+            v[:, hlo][:, :, :, whi] * wt
+        bot = v[:, hhi][:, :, :, wlo] * (1 - wt) + \
+            v[:, hhi][:, :, :, whi] * wt
+        return top * (1 - ht)[None, :, None, None] + \
+            bot * ht[None, :, None, None]
+    raise ValueError(f"unknown interpolate mode {mode!r}")
+
+
+def hiw_upsample(xt, c, h, w, to_hw, scale=2, mode="nearest"):
+    """Upsample the valid region by `scale` and repair to `to_hw`."""
+    v = hiw_valid(xt, c, h, w)
+    u = _interp_nhcw(v, scale, mode)
+    return hiw_place(_pad_to_nhcw(u, *to_hw))
+
+
+def hiw_resize(xt, c, h, w, to_hw):
+    """Shape repair only (same scale)."""
+    return hiw_place(_pad_to_nhcw(hiw_valid(xt, c, h, w), *to_hw))
+
+
+def hiw_attention_fusion(xt, n, c, h, w, mode="sca", spatial_mode="l1",
+                         channel_mode="avg"):
+    """Per-scale attention fusion of an H-major 2n-batch tensor (images
+    stacked [x1; x2]) -> fused n-batch tensor (reference
+    core/fusion.py:42-59, the NestFuse/UNFusion per-scale fusion).
+
+    Works on the valid NHCW view: the spatial map pools over the channel
+    axis (2), the channel vector pools over the valid spatial axes
+    (1, 3) — no guard pixels enter any statistic."""
+    from ..fusion import element_fusion, spatial_pooling, weighted_fusion
+
+    v = hiw_valid(xt, c, h, w)
+    v1, v2 = v[:n], v[n:]
+
+    def spat():
+        s1 = spatial_pooling(v1, spatial_mode, caxis=2)
+        s2 = spatial_pooling(v2, spatial_mode, caxis=2)
+        return weighted_fusion(v1, v2, s1, s2)
+
+    def chan():
+        if channel_mode == "avg":
+            c1 = v1.mean(axis=(1, 3), keepdims=True)
+            c2 = v2.mean(axis=(1, 3), keepdims=True)
+        elif channel_mode == "max":
+            c1 = v1.max(axis=(1, 3), keepdims=True)
+            c2 = v2.max(axis=(1, 3), keepdims=True)
+        else:
+            raise ValueError(
+                f"channel_mode {channel_mode!r} is not hiw-safe")
+        return weighted_fusion(v1, v2, c1, c2)
+
+    if mode == "sa":
+        fused = spat()
+    elif mode == "ca":
+        fused = chan()
+    elif mode == "sca":
+        fused = element_fusion(spat(), chan(), "mean")
+    elif mode == "wavg":
+        fs, fc = spat(), chan()
+        fused = weighted_fusion(fs, fc, fs, fc)
+    else:
+        raise ValueError(f"unsupported fusion mode {mode!r}")
+    return hiw_place(fused)
+
+
+def hiw_conv(t, params, c_in, h, w, fuse_n=0, interpret=False):
+    """Single-leg H-major conv from a deferred ConvLayer
+    (kernel, bias, k, act) tuple."""
+    from .hiw_kernel import conv_hiw_chain
+    wgt, bias, k, act = params
+    return conv_hiw_chain(t, wgt, k, h=h, w_valid=w, c_in=c_in,
+                          bias=bias, act=act, fuse_n=fuse_n,
+                          interpret=interpret)
+
+
+def hiw_mconv(legs, params, h, w, n_out, fuse_n=0, interpret=False):
+    """Multi-leg H-major conv: legs = [(tensor, c_in, b_off), ...] in
+    the reference's channel-concat order."""
+    from .hiw_kernel import conv_hiw_chain_multi
+    wgt, bias, k, act = params
+    return conv_hiw_chain_multi(
+        tuple(t for t, _, _ in legs), wgt, k, h=h, w_valid=w,
+        c_ins=tuple(c for _, c, _ in legs),
+        b_offs=tuple(b for _, _, b in legs), n_out=n_out, bias=bias,
+        act=act, fuse_n=fuse_n, interpret=interpret)

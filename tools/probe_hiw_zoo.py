@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-MODELS = ["densefuse", "vifnet", "pfnetv1", "ifcnn", "difnet", "pmgi"]
+MODELS = ["densefuse", "vifnet", "pfnetv1", "ifcnn", "difnet", "pmgi",
+          "nestfuse", "rfnnest"]
+# full-res timing batch per model (HBM-capacity-bound heavy tail runs
+# smaller — mirrors docs/zoo_bench.jsonl batches)
+MODEL_B = {"nestfuse": 4, "rfnnest": 4}
 
 
 def main():
@@ -34,7 +38,6 @@ def main():
     from multi_modal_image_fusion_tpu.models import create_model
     from multi_modal_image_fusion_tpu.ops import layers as L
 
-    B = int(os.environ.get("B", "16"))
     H = int(os.environ.get("H", "1224"))
     W = int(os.environ.get("W", "1024"))
     iters = int(os.environ.get("ITERS", "5"))
@@ -44,6 +47,7 @@ def main():
     r = np.random.RandomState(0)
     for name in names:
         rec = {"probe": "hiw_zoo", "model": name}
+        B = MODEL_B.get(name, int(os.environ.get("B", "16")))
         try:
             model = create_model(name)
             init1 = jnp.asarray(r.rand(1, 64, 64, 1), jnp.float32)

@@ -8,12 +8,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 exec > >(tee -a /root/repo/docs/r5_queue_results.log) 2>&1
 
-echo "=== $(date) r5q3 health check"
+echo "=== $(date) r5q6 health check"
 timeout 600 python -c "
 import jax, jax.numpy as jnp
 print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
-" || { echo 'TPU DOWN - aborting r5q3'; exit 1; }
+" || { echo 'TPU DOWN - aborting r5q6'; exit 1; }
 
 echo "=== $(date) zoo re-bench: sedrfuse + myfusion (formulation defaults OFF)"
 timeout 5400 python tools/bench_zoo.py sedrfuse myfusion

@@ -65,10 +65,11 @@ def hiw_enabled():
 HIW_MULTI_DEFAULT = True
 # Models the TPU sweep measured SLOWER on the multi-leg path (autoflip
 # writes losers here; MMIF_CHAIN_HIW_MULTI=1 still force-enables them).
-HIW_MULTI_BLOCKLIST = ("difnet", "ifcnn", "pfnetv1", "vifnet",
-                       # round-5 nest wiring: C-major default until the
-                       # queue measures + gates them (r5_autoflip_multi)
-                       "nestfuse", "rfnnest", )
+# NOTE: the autoflip rewrites the tuple below with a regex that stops at
+# the first ')' — keep it on one line with no parentheses in between.
+# nestfuse/rfnnest start blocklisted: C-major default until queue 5
+# measures + gates their new hiw paths.
+HIW_MULTI_BLOCKLIST = ("difnet", "ifcnn", "nestfuse", "pfnetv1", "rfnnest", "vifnet", )
 
 
 def hiw_multi_enabled(model=None):

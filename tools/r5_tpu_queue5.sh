@@ -25,7 +25,12 @@ echo "=== $(date) r5 multi-leg default autoflip (nest)"
 timeout 2400 python tools/r5_autoflip_multi.py
 echo "--- autoflip_multi exit: $?"
 
-echo "=== $(date) zoo re-bench: nest models"
-timeout 5400 python tools/bench_zoo.py nestfuse rfnnest
+echo "=== $(date) zoo re-bench: nest models + the four flat models whose"
+echo "    queue-2b re-bench ran before the autoflip landed (stale rows)"
+timeout 9000 python tools/bench_zoo.py nestfuse rfnnest vifnet pfnetv1 ifcnn difnet
 echo "--- bench_zoo exit: $?"
-git add docs/zoo_bench.jsonl && git commit -m "Re-bench the nest zoo rows under the gated H-major default" || true
+git add docs/zoo_bench.jsonl && git commit -m "Re-bench the gated H-major zoo rows (nest + flipped flat models)" || true
+
+echo "=== $(date) heavy-tail section breakdown (res2fusion/myfusion/unfusion)"
+timeout 5400 python tools/probe_tail_breakdown.py res2fusion myfusion unfusion
+echo "--- probe_tail_breakdown exit: $?"

@@ -994,6 +994,9 @@ class UNFusion(_FusionModel):
         # pad+2 transposes per decoder conv.
         if (img2 is not None and not train and chain_ready()
                 and self.fusion_mode in ("sa", "ca", "sca", "wavg")):
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("unfusion"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
@@ -1010,6 +1013,33 @@ class UNFusion(_FusionModel):
             out = self.conv_out(y, train=False, chain_hw=hws[0])
             return chain_exit(out, h, w)
         return super().__call__(img1, img2, train)
+
+    def _hiw_forward(self, img1, img2):
+        """H-major decode path (round 5, VERDICT #4): the NHWC encoder
+        stays (stride-2 down convs are not chain-eligible), then each
+        scale enters the H-major layout once; wavg fusion and the HEAVY
+        U-Net++ decoder (16/64/256/1024 ch, DCB k3->k3 blocks) run as
+        multi-leg strip kernels — the wide 1280->640 leg takes the
+        VMEM-aware rows/g pick (hiw_scale.hiw_pick_rows). Reference
+        model.py:311-389 forward."""
+        from ..ops.pallas.hiw_kernel import hiw_exit
+        from ..ops.pallas.hiw_scale import (hiw_attention_fusion,
+                                            hiw_conv, hiw_enter_c)
+
+        interp = _hiw_interp()
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+        feats = self.encoder(jnp.concatenate([img1, img2], axis=0),
+                             False)
+        hws = [(f.shape[1], f.shape[2]) for f in feats]
+        fused = [
+            hiw_attention_fusion(hiw_enter_c(f), n, c, *hw,
+                                 mode=self.fusion_mode)
+            for f, c, hw in zip(feats, self.dec_ch, hws)]
+        y = self.decode(fused, train=False, chain_hws=hws, hiw=True)
+        out = hiw_conv(y, self.conv_out(None, chain_hw=hws[0],
+                                        chain_defer_in_ch=self.dec_ch[0]),
+                       self.dec_ch[0], *hws[0], interpret=interp)
+        return hiw_exit(out, h, w)
 
 
 class Res2Fusion(_FusionModel):

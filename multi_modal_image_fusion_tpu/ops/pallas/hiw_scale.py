@@ -30,8 +30,15 @@ import jax.numpy as jnp
 
 from .conv_kernel import CHAIN_GUARD, CHAIN_WG, chain_shape
 
-__all__ = ["hiw_valid", "hiw_place", "hiw_max_pool", "hiw_upsample",
-           "hiw_resize", "hiw_attention_fusion", "hiw_conv", "hiw_mconv"]
+__all__ = ["hiw_valid", "hiw_place", "hiw_enter_c", "hiw_max_pool",
+           "hiw_upsample", "hiw_resize", "hiw_attention_fusion",
+           "hiw_conv", "hiw_mconv", "hiw_pick_rows"]
+
+
+def hiw_enter_c(x):
+    """NHWC (B, H, W, C) -> H-major chain tensor (one transpose pass;
+    the C == 1 entry path is hiw_kernel.hiw_enter's strip kernel)."""
+    return hiw_place(jnp.transpose(x, (0, 1, 3, 2)))
 
 
 def hiw_valid(xt, c, h, w):
@@ -180,14 +187,41 @@ def hiw_attention_fusion(xt, n, c, h, w, mode="sca", spatial_mode="l1",
     return hiw_place(fused)
 
 
+HIW_VMEM_BUDGET = 100 << 20
+
+
+def hiw_pick_rows(c_ins, c_out, k, h, w, fuse_n=0):
+    """Strip rows for a (multi-)leg hiw conv: 16 unless the nominal VMEM
+    scratch exceeds the budget, then 8 (halves strips + stage; the wide
+    UNFusion decoder legs need this at full/half res). Also picks g=2
+    for very wide c_in*c_out products where the band-weight inflation
+    (g+k-1)/k dominates VMEM (e.g. UNFusion's 1280->640 k3)."""
+    from .hiw_kernel import (_hiw_g_ok, hiw_multi_scratch_bytes,
+                             hiw_pick_g)
+    # per-leg sublane alignment: the multi kernel handles c % 8 legs via
+    # ext, but g must still 8-align the grouped output rows and (for the
+    # single-leg kernel) g*c_in
+    cmin = min(c_ins)
+    g16 = hiw_pick_g(sum(c_ins), c_out, k, rows=16)
+    g8 = hiw_pick_g(sum(c_ins), c_out, k, rows=8)
+    for rows, gr in ((16, g16), (16, 2), (8, g8), (8, 2)):
+        if _hiw_g_ok(gr, cmin, c_out, rows) and hiw_multi_scratch_bytes(
+                c_ins, c_out, k, h, w, g=gr, rows=rows,
+                fuse_n=fuse_n) <= HIW_VMEM_BUDGET:
+            return rows, gr
+    return 8, g8
+
+
 def hiw_conv(t, params, c_in, h, w, fuse_n=0, interpret=False):
     """Single-leg H-major conv from a deferred ConvLayer
     (kernel, bias, k, act) tuple."""
     from .hiw_kernel import conv_hiw_chain
     wgt, bias, k, act = params
+    rows, g = hiw_pick_rows((c_in,), wgt.shape[-1], k, h, w,
+                            fuse_n=fuse_n)
     return conv_hiw_chain(t, wgt, k, h=h, w_valid=w, c_in=c_in,
-                          bias=bias, act=act, fuse_n=fuse_n,
-                          interpret=interpret)
+                          bias=bias, act=act, fuse_n=fuse_n, g=g,
+                          rows=rows, interpret=interpret)
 
 
 def hiw_mconv(legs, params, h, w, n_out, fuse_n=0, interpret=False):
@@ -195,8 +229,10 @@ def hiw_mconv(legs, params, h, w, n_out, fuse_n=0, interpret=False):
     the reference's channel-concat order."""
     from .hiw_kernel import conv_hiw_chain_multi
     wgt, bias, k, act = params
+    c_ins = tuple(c for _, c, _ in legs)
+    rows, g = hiw_pick_rows(c_ins, wgt.shape[-1], k, h, w, fuse_n=fuse_n)
     return conv_hiw_chain_multi(
         tuple(t for t, _, _ in legs), wgt, k, h=h, w_valid=w,
-        c_ins=tuple(c for _, c, _ in legs),
+        c_ins=c_ins,
         b_offs=tuple(b for _, _, b in legs), n_out=n_out, bias=bias,
-        act=act, fuse_n=fuse_n, interpret=interpret)
+        act=act, fuse_n=fuse_n, g=g, rows=rows, interpret=interpret)

@@ -874,10 +874,11 @@ class NestFuse(_FusionModel):
             hws.append((ph // 2, pw // 2))
 
         def cb(blk, t, c_in, hw):
-            p1, p2 = blk(None, False, chain_hw=hw,
-                         chain_defer_in_chs=(c_in,))
-            y = hiw_conv(t, p1, c_in, *hw, interpret=interp)
-            return hiw_conv(y, p2, c_in // 2, *hw, interpret=interp)
+            y = t
+            for p, ci in blk(None, False, chain_hw=hw,
+                             chain_defer_in_chs=(c_in,)):
+                y = hiw_conv(y, p, ci, *hw, interpret=interp)
+            return y
 
         t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
         x = hiw_conv(t, self.conv_in(None, chain_hw=hws[0],
@@ -1580,9 +1581,51 @@ class MyFusion(nn.Module):
         raise ValueError(m)
 
     def __call__(self, img1, img2, train=False):
+        from ..ops.layers import chain_ready
+
+        # H-major decode fast path (round 5, VERDICT #4): the stride-2
+        # TransitionBlock encoder stays NHWC, then fusion + the nest
+        # decoder's DCBlocks (pw -> dw -> pw) run as H-major strip
+        # kernels with the dw as a diagonal banded dot
+        # (ops/pallas/hiw_kernel._hiw_band_weights).
+        if (not train and chain_ready() and self.decoder == "nest"
+                and self.norm is None
+                and self.fusion_method in ("elem", "attn")
+                and (self.fusion_method != "attn"
+                     or self.fusion_mode in ("sa", "ca", "sca", "wavg"))):
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("myfusion"):
+                return self._hiw_forward(img1, img2)
         feats1, feats2 = self.encoder_fn(img1, img2, train)
         fused = self.fusion(feats1, feats2, train)
         return self.conv_out(self.decode(fused, train), train)
+
+    def _hiw_forward(self, img1, img2):
+        """Reference model.py:630-842 forward, H-major decode."""
+        from ..ops.fusion import element_fusion
+        from ..ops.pallas.hiw_kernel import hiw_exit
+        from ..ops.pallas.hiw_scale import (hiw_attention_fusion,
+                                            hiw_conv, hiw_enter_c)
+
+        interp = _hiw_interp()
+        ch = self.num_ch
+        n = img1.shape[0]
+        feats1, feats2 = self.encoder_fn(img1, img2, False)
+        hws = [(f.shape[1], f.shape[2]) for f in feats1]
+        fused = []
+        for f1, f2, c, hw in zip(feats1, feats2, ch, hws):
+            t = hiw_enter_c(jnp.concatenate([f1, f2], axis=0))
+            if self.fusion_method == "elem":
+                fused.append(element_fusion(t[:n], t[n:],
+                                            self.fusion_mode))
+            else:
+                fused.append(hiw_attention_fusion(
+                    t, n, c, *hw, mode=self.fusion_mode))
+        y = self.decode(fused, train=False, chain_hws=hws, hiw=True)
+        out = hiw_conv(y, self.conv_out(None, chain_hw=hws[0],
+                                        chain_defer_in_ch=ch[0]),
+                       ch[0], *hws[0], interpret=interp)
+        return hiw_exit(out, *hws[0])
 
 
 MODEL_ZOO = {

@@ -464,10 +464,32 @@ class DCBlock(nn.Module):
     residual: bool = False
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, chain_hw=None,
+                 chain_defer_in_chs=None):
+        kw = dict(use_bias=self.use_bias, norm=self.norm)
+        if chain_defer_in_chs is not None:
+            # H-major defer (ops/pallas/hiw_scale.py): pw -> dw -> pw as
+            # hiw steps — the dw runs as a diagonal banded dot. The final
+            # act (applied after the residual in eager mode) folds into
+            # pw2's epilogue; the residual variant is not hiw-routed.
+            assert not self.residual
+            in_ch = sum(chain_defer_in_chs)
+            hid_ch = in_ch // 2
+            p1 = ConvLayer(hid_ch, ksize=1, act=self.act, name="pw1",
+                           **kw)(None, train, chain_hw=chain_hw,
+                                 chain_defer_in_ch=in_ch)
+            pdw = ConvLayer(hid_ch, ksize=3, groups=hid_ch, act=self.act,
+                            name="dw", **kw)(None, train,
+                                             chain_hw=chain_hw,
+                                             chain_defer_in_ch=hid_ch)
+            wk, bk, kk, _ = ConvLayer(
+                self.out_ch, ksize=1, act=None, name="pw2",
+                **kw)(None, train, chain_hw=chain_hw,
+                      chain_defer_in_ch=hid_ch)
+            return [(p1, in_ch), (pdw, hid_ch),
+                    ((wk, bk, kk, self.act), hid_ch)]
         in_ch = x.shape[-1]
         hid_ch = in_ch // 2
-        kw = dict(use_bias=self.use_bias, norm=self.norm)
         y = ConvLayer(hid_ch, ksize=1, act=self.act, name="pw1", **kw)(x,
                                                                        train)
         y = ConvLayer(hid_ch, ksize=3, groups=hid_ch, act=self.act,
@@ -499,9 +521,10 @@ class ConvBlock(nn.Module):
         # computes conv(concat(x)) as a sum of per-part convs)
         if chain_defer_in_chs is not None:
             # H-major defer mode (ops/pallas/hiw_scale.py): hand back the
-            # two folded (kernel, bias, k, act) tuples; the caller runs
-            # the first conv as a multi-leg hiw kernel over the parts.
-            # Param shapes match the eager path exactly (in_ch = sum).
+            # step list [(folded params, c_in), ...]; the caller runs the
+            # first step as a multi-leg hiw kernel over the parts and the
+            # rest single-leg. Param shapes match the eager path exactly
+            # (in_ch = sum).
             hid_ch = sum(chain_defer_in_chs) // 2
             p1 = ConvLayer(hid_ch, ksize=self.ksize1, name="conv1")(
                 None, train, chain_hw=chain_hw,
@@ -509,7 +532,7 @@ class ConvBlock(nn.Module):
             p2 = ConvLayer(self.out_ch, ksize=self.ksize2, name="conv2")(
                 None, train, chain_hw=chain_hw,
                 chain_defer_in_ch=hid_ch)
-            return p1, p2
+            return [(p1, sum(chain_defer_in_chs)), (p2, hid_ch)]
         if isinstance(x, (tuple, list)):
             hid_ch = sum(t.shape[1] for t in x) // 2
         else:
@@ -758,13 +781,14 @@ class NestDecoder(nn.Module):
 
             def run(name, out_ch, legs, i):
                 cs = tuple(c for _, c in legs)
-                p1, p2 = blk(out_ch, name=name)(
+                steps = blk(out_ch, name=name)(
                     None, train, chain_hw=hws[i],
                     chain_defer_in_chs=cs)
-                y = hiw_mconv([(t, c, 0) for t, c in legs], p1,
+                y = hiw_mconv([(t, c, 0) for t, c in legs], steps[0][0],
                               *hws[i], n_out=n, interpret=interp)
-                return hiw_conv(y, p2, sum(cs) // 2, *hws[i],
-                                interpret=interp)
+                for p, c_in in steps[1:]:
+                    y = hiw_conv(y, p, c_in, *hws[i], interpret=interp)
+                return y
 
             f = list(zip(feats, ch))
             x1_1 = run("DB1_1", ch[0],

@@ -378,8 +378,14 @@ class ConvLayer(nn.Module):
             # eval-mode BatchNorm folds into the conv weights (y*g + t
             # with g = scale/sqrt(var+eps))
             parts = x if isinstance(x, (tuple, list)) else None
+            # depthwise layers may DEFER through here (the H-major kernel
+            # runs them as diagonal banded dots, hiw_kernel); only the
+            # eager chain path requires ungrouped convs
+            dw_defer = (self.groups > 1 and chain_defer_in_ch is not None
+                        and self.groups == chain_defer_in_ch == self.out_ch)
             assert (self.pre_norm is None and not self.transpose
-                    and self.stride == 1 and self.groups == 1
+                    and self.stride == 1
+                    and (self.groups == 1 or dw_defer)
                     and self.dilation == 1 and not train
                     and (self.ksize == 1 or pad == self.ksize // 2)
                     and self.norm in (None, "batch")
@@ -404,7 +410,8 @@ class ConvLayer(nn.Module):
                 in_ch //= f * f
             kernel = self.param(
                 "kernel", kernel_init_for(self.act),
-                (self.ksize, self.ksize, in_ch, self.out_ch))
+                (self.ksize, self.ksize, in_ch // self.groups,
+                 self.out_ch))
             b = self.param("bias", nn.initializers.zeros,
                            (self.out_ch,)) if bias else None
             if self.norm == "batch":
@@ -429,7 +436,11 @@ class ConvLayer(nn.Module):
             if chain_defer_in_ch is not None:
                 # fused-pair mode (conv_tlane_chain_pair): hand the folded
                 # kernel/bias back to the model, which feeds two adjacent
-                # layers through one strip kernel
+                # layers through one strip kernel. Depthwise layers hand
+                # back (k, k, C) for the diagonal-band hiw path.
+                if dw_defer:
+                    return kernel[:, :, 0, :], eff_bias, self.ksize, \
+                        self.act
                 return kernel, eff_bias, self.ksize, self.act
 
             if self.ksize == 1:

@@ -69,7 +69,7 @@ HIW_MULTI_DEFAULT = True
 # the first ')' — keep it on one line with no parentheses in between.
 # nestfuse/rfnnest start blocklisted: C-major default until queue 5
 # measures + gates their new hiw paths.
-HIW_MULTI_BLOCKLIST = ("nestfuse", "rfnnest", "unfusion", )
+HIW_MULTI_BLOCKLIST = ("myfusion", "nestfuse", "rfnnest", "unfusion", )
 
 
 def hiw_multi_enabled(model=None):
@@ -156,13 +156,27 @@ def hiw_pick_g(c_in, c_out, k, rows=16):
 
 def _hiw_band_weights(w, k, c_in, c_out, g, dtype):
     """HWIO (k, k, c_in, c_out) -> block-banded LHS
-    ((g+k-1)*c_in, k*g*c_out), columns grouped (kw_order, i, co)."""
+    ((g+k-1)*c_in, k*g*c_out), columns grouped (kw_order, i, co).
+
+    DEPTHWISE weights (k, k, C): the per-channel taps embed as DIAGONAL
+    c blocks — the MXU eats the off-diagonal zeros at full rate, so a dw
+    conv costs the same as a dense C->C conv through this kernel. At the
+    zoo's 16-128 dw widths that dense-equivalent cost is tiny, and the
+    strip pipeline beats XLA's grouped-conv lowering (which densifies
+    anyway, docs/PERFORMANCE.md round-4 myfusion notes)."""
     p_half = k // 2
     kw_order = [p_half] + [kw for kw in range(k) if kw != p_half]
     gk = g + k - 1
     wb = jnp.zeros((gk * c_in, k * g * c_out), dtype)
-    # col[kw] is (k*c_in, c_out), rows ordered (kh, ci)
-    col = jnp.transpose(w, (1, 0, 2, 3)).reshape(k, k * c_in, c_out)
+    if w.ndim == 3:
+        assert c_in == c_out == w.shape[-1]
+        eye = jnp.eye(c_in, dtype=jnp.float32)
+        # [kw, kh, ci, co] = w[kh, kw, ci] * delta(ci, co)
+        col = (jnp.transpose(w, (1, 0, 2)).astype(jnp.float32)[..., None]
+               * eye[None, None]).reshape(k, k * c_in, c_out)
+    else:
+        # col[kw] is (k*c_in, c_out), rows ordered (kh, ci)
+        col = jnp.transpose(w, (1, 0, 2, 3)).reshape(k, k * c_in, c_out)
     for kw_i, kw in enumerate(kw_order):
         for i in range(g):
             wb = jax.lax.dynamic_update_slice(

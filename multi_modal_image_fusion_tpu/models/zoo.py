@@ -1085,8 +1085,11 @@ class Res2Fusion(_FusionModel):
 
         # Hybrid fast path: Res2 encoder blocks (grouped dw convs) and the
         # streamed non-local fusion stay NHWC; the 4-conv decoder runs
-        # NCHW-resident.
+        # NCHW-resident (or H-major when gated on, round 5).
         if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("res2fusion"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
@@ -1101,6 +1104,29 @@ class Res2Fusion(_FusionModel):
                 fused = layer(fused, train=False, chain_hw=(h, w))
             return chain_exit(fused, h, w)
         return super().__call__(img1, img2, train)
+
+    def _hiw_forward(self, img1, img2):
+        """H-major decode (round 5): NHWC encoder + streamed nl fusion,
+        then the 112->64->32->16->1 k3 decoder as H-major strip kernels
+        (reference model.py forward for Res2Fusion)."""
+        from ..ops.pallas.hiw_kernel import hiw_exit
+        from ..ops.pallas.hiw_scale import hiw_conv, hiw_enter_c
+
+        interp = _hiw_interp()
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+        feat = self.encoder(jnp.concatenate([img1, img2], axis=0), False)
+        if self.fusion_method == "elem":
+            t = hiw_enter_c(feat)
+            t = element_fusion(t[:n], t[n:], "mean")
+        else:
+            t = hiw_enter_c(self.fusion(feat[:n], feat[n:]))
+        c_in = feat.shape[-1]
+        for layer in self.dec:
+            t = hiw_conv(t, layer(None, chain_hw=(h, w),
+                                  chain_defer_in_ch=c_in),
+                         c_in, h, w, interpret=interp)
+            c_in = layer.out_ch
+        return hiw_exit(t, h, w)
 
 
 class MAFusion(NestFuse):

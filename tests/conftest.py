@@ -18,6 +18,59 @@ import pytest  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
+# ---------------------------------------------------------------------------
+# Round-5 retiering (VERDICT #8): the fast tier had crept to ~48 min on the
+# 1-vCPU judge box. Model-sweep tests keep ONE-TWO representatives per
+# family in the fast tier; the full sweeps run with `-m ""` (make
+# test-all / CI / the autoflip gates, which pass `-m ""` explicitly).
+# Times from /tmp/r5_durations.log (pytest --durations, 2026-08-20).
+# ---------------------------------------------------------------------------
+
+# whole functions that leave the fast tier (redundant with driver checks,
+# or single >25s items with cheaper siblings covering the same surface)
+_TIER_SLOW_FN = {
+    "test_graft_entry_dryrun",            # 149s; driver runs dryrun itself
+    "test_spatial_pooling_flash_gate",    # 146s; flash nl covered in test_nl_kernel others
+    "test_multiscale_parity_odd_width_2tiles",  # 60s; 4tiles rep stays
+    "test_cli_tiles_inference",           # 45s; cli e2e roundtrip stays
+    "test_two_process_train_smoke",       # 36s subprocess; multihost slow tier
+    "test_deepfuse_s2d_io_path_bit_identical",  # 31s; s2d chain parity stays
+    "test_multiscale_parity_under_jit_batch",   # 29s
+    "test_chain_conv_channel_chunked_wide_layer",  # 23s
+}
+
+# param sweeps: ids kept in the fast tier (everything else -> slow)
+_TIER_KEEP = {
+    "test_model_chain_fast_path_parity": {"densefuse", "res2fusion"},
+    "test_multiscale_spatial_parity_4dev": {"nestfuse-128"},
+    "test_multiscale_parity_4tiles": {"nestfuse"},
+    "test_odd_input_sizes": {"deepfuse-size0", "nestfuse-size0",
+                             "sedrfuse-size1"},
+    "test_parity_all_eligible_models_4dev": {"deepfuse", "nestfuse"},
+    "test_zoo_forward_parity": {"deepfuse", "densefuse", "nestfuse",
+                                "sedrfuse"},
+    "test_forward_shapes": {"deepfuse", "densefuse", "vifnet", "ifcnn",
+                            "difnet", "pmgi", "pfnetv1", "sedrfuse"},
+    "test_param_count_matches_reference": {
+        "deepfuse", "densefuse", "vifnet", "ifcnn", "difnet", "pmgi",
+        "pfnetv1", "pfnetv2", "dbnet", "sedrfuse", "nestfuse"},
+    "test_model_hiw_path_parity": {"densefuse"},
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        name = item.originalname or item.name
+        if name in _TIER_SLOW_FN:
+            item.add_marker(slow)
+            continue
+        keep = _TIER_KEEP.get(name)
+        if keep is not None:
+            pid = item.callspec.id if hasattr(item, "callspec") else ""
+            if pid not in keep:
+                item.add_marker(slow)
+
 
 @pytest.fixture(scope="session")
 def golden():

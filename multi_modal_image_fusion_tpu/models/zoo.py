@@ -1135,7 +1135,7 @@ class MAFusion(NestFuse):
     down_mode: str = "maxpool"
     up_mode: str = "bilinear"
     num_ch: Sequence[int] = (64, 128, 256, 512)
-    _hiw_ok: bool = False  # FSDecoder has no hiw route yet
+    _hiw_ok: bool = True
 
     def setup(self):
         ch = self.num_ch

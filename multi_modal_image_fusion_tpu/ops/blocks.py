@@ -860,8 +860,54 @@ class FSDecoder(nn.Module):
     up_mode: str = "bilinear"
 
     @nn.compact
-    def __call__(self, feats, train=False, chain_hws=None):
+    def __call__(self, feats, train=False, chain_hws=None, hiw=False):
         blk = self.block
+        if hiw:
+            # H-major multi-leg path (round 5, ops/pallas/hiw_scale.py):
+            # every DB block's 4-part concat conv runs in one strip
+            # kernel; cross-scale moves via hiw_max_pool/hiw_upsample.
+            import os
+
+            from .pallas.hiw_scale import (hiw_conv, hiw_max_pool,
+                                           hiw_mconv, hiw_upsample)
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+            hws = chain_hws
+            ch = self.num_ch
+            n = feats[0].shape[0]
+
+            def down(xt, c, i_from, i_to, window):
+                return hiw_max_pool(xt, c, *hws[i_from], window,
+                                    to_hw=hws[i_to])[0]
+
+            def up(xt, c, i_from, i_to, scale):
+                return hiw_upsample(xt, c, *hws[i_from], hws[i_to],
+                                    scale, self.up_mode)
+
+            def run(name, out_ch, legs, i):
+                cs = tuple(c for _, c in legs)
+                steps = blk(out_ch, name=name)(
+                    None, train, chain_hw=hws[i],
+                    chain_defer_in_chs=cs)
+                y = hiw_mconv([(t, c, 0) for t, c in legs], steps[0][0],
+                              *hws[i], n_out=n, interpret=interp)
+                for p, c_in in steps[1:]:
+                    y = hiw_conv(y, p, c_in, *hws[i], interpret=interp)
+                return y
+
+            f = list(zip(feats, ch))
+            y3 = run("DB3", ch[2],
+                     [(down(f[0][0], ch[0], 0, 2, 4), ch[0]),
+                      (down(f[1][0], ch[1], 1, 2, 2), ch[1]),
+                      f[2], (up(f[3][0], ch[3], 3, 2, 2), ch[3])], 2)
+            y2 = run("DB2", ch[1],
+                     [(down(f[0][0], ch[0], 0, 1, 2), ch[0]),
+                      f[1], (up(y3, ch[2], 2, 1, 2), ch[2]),
+                      (up(f[3][0], ch[3], 3, 1, 4), ch[3])], 1)
+            y1 = run("DB1", ch[0],
+                     [f[0], (up(y2, ch[1], 1, 0, 2), ch[1]),
+                      (up(y3, ch[2], 2, 0, 4), ch[2]),
+                      (up(f[3][0], ch[3], 3, 0, 8), ch[3])], 0)
+            return y1
         if chain_hws is not None:
             from .pallas.chain_ops import chain_max_pool, chain_upsample
             hws = chain_hws

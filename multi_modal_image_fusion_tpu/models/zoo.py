@@ -371,41 +371,51 @@ class DeepFuse(_FusionModel):
                         c_in=c_in, bias=bias, act=act, fuse_n=fuse_n,
                         interpret=interp)
 
-                # int8-RESIDENT enc1->dec0 hop (round 5): when both fat
-                # legs run int8 and the hop meets the (32,128) int8 tile
-                # alignment contract, enc1 requantizes its epilogue onto
-                # dec0's fold grid (out_scale) and emits an int8 chain
-                # tensor — half the DMA bytes on the fattest inter-layer
-                # tensor, and dec0 skips its per-strip quantize pass.
-                enc1_scale = None
-                if qc is not None and self.fusion_mode == "sum":
+                def _res_scale(prod, prod_cin, cons, cons_cin):
+                    """int8-RESIDENT hop prod -> cons (round 5): when
+                    both legs run int8 and the hop meets the (32,128)
+                    int8 tile alignment contract, prod requantizes its
+                    epilogue onto cons's fold grid (out_scale) and
+                    emits an int8 chain tensor — half the DMA bytes on
+                    the hop — and cons skips its per-strip quantize
+                    pass. Returns cons's fold vector or None."""
+                    if qc is None:
+                        return None
                     from ..ops.pallas.hiw_int8 import (hiw_fold_scale,
                                                        hiw_q_res_ok,
                                                        hiw_res_enabled)
                     from ..ops.pallas.hiw_kernel import hiw_pick_g
-                    k1 = self.enc[1].ksize
-                    k0 = self.dec[0].ksize
-                    c1 = self.enc[1].out_ch  # == dec0 c_in after fuse
-                    a1 = _leg_amax(self.enc[1], 16, k1)
-                    a0 = _leg_amax(self.dec[0], c1, k0)
-                    g1 = hiw_pick_g(16, c1, k1)
-                    g0 = hiw_pick_g(c1, self.dec[0].out_ch, k0)
-                    if (hiw_res_enabled() and a1 is not None
-                            and a0 is not None
-                            and self.enc[1].act in (None, "relu")
-                            and hiw_q_res_ok(c1, k0, g1, g0)):
-                        w0 = self.dec[0](None, chain_hw=(h, w),
-                                         chain_defer_in_ch=c1)[0]
-                        enc1_scale = hiw_fold_scale(jnp.asarray(a0), w0)
+                    if not hiw_res_enabled():
+                        return None
+                    a_p = _leg_amax(prod, prod_cin, prod.ksize)
+                    a_c = _leg_amax(cons, cons_cin, cons.ksize)
+                    gp = hiw_pick_g(prod_cin, prod.out_ch, prod.ksize)
+                    gc = hiw_pick_g(cons_cin, cons.out_ch, cons.ksize)
+                    if (a_p is not None and a_c is not None
+                            and prod.act in (None, "relu")
+                            and hiw_q_res_ok(prod.out_ch, cons.ksize,
+                                             gp, gc)):
+                        wc = cons(None, chain_hw=(h, w),
+                                  chain_defer_in_ch=cons_cin)[0]
+                        return hiw_fold_scale(jnp.asarray(a_c), wc)
+                    return None
+
+                # resident hops: enc1->dec0 (the fattest strip; only on
+                # the 'sum' path, where the siamese add rides the int8
+                # grid in-kernel) and dec0->dec1 (both branches)
+                enc1_scale = (_res_scale(self.enc[1], 16, self.dec[0], 32)
+                              if self.fusion_mode == "sum" else None)
+                dec0_scale = _res_scale(self.dec[0], 32, self.dec[1], 32)
 
                 t = hconv(t, self.enc[0], 1)
                 t = hconv(t, self.enc[1], 16, out_scale=enc1_scale)
                 if self.fusion_mode == "sum":
-                    t = hconv(t, self.dec[0], 32, fuse_n=n)
+                    t = hconv(t, self.dec[0], 32, fuse_n=n,
+                              out_scale=dec0_scale)
                 else:
                     # elementwise fusion works directly on H-major tensors
                     t = element_fusion(t[:n], t[n:], self.fusion_mode)
-                    t = hconv(t, self.dec[0], 32)
+                    t = hconv(t, self.dec[0], 32, out_scale=dec0_scale)
                 t = hconv(t, self.dec[1], 32)
                 t = hconv(t, self.dec[2], 16)
                 return hiw_exit(t, h, w)

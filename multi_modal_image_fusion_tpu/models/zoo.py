@@ -705,6 +705,9 @@ class DBNet(_FusionModel):
         # NCHW-resident.
         if (img2 is not None and not train and chain_ready()
                 and self.fusion_mode in ("sum", "avg")):
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("dbnet"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
@@ -721,6 +724,31 @@ class DBNet(_FusionModel):
                 fused = layer(fused, train=False, chain_hw=(h, w))
             return chain_exit(fused, h, w)
         return super().__call__(img1, img2, train)
+
+    def _hiw_forward(self, img1, img2):
+        """H-major decode (round 5): NHWC dual-branch encoder, then
+        fusion + the 128->64->32->16->1 decoder as H-major strip
+        kernels (reference model.py forward for DBNet)."""
+        from ..ops.pallas.hiw_kernel import hiw_exit
+        from ..ops.pallas.hiw_scale import (hiw_attention_fusion,
+                                            hiw_conv, hiw_enter_c)
+
+        interp = _hiw_interp()
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+        feat = self.encoder(jnp.concatenate([img1, img2], axis=0), False)
+        c_in = feat.shape[-1]
+        t = hiw_enter_c(feat)
+        if self.fusion_mode == "sum":
+            t = element_fusion(t[:n], t[n:], "sum")
+        else:
+            t = hiw_attention_fusion(t, n, c_in, h, w, mode="ca",
+                                     channel_mode="avg")
+        for layer in self.dec:
+            t = hiw_conv(t, layer(None, chain_hw=(h, w),
+                                  chain_defer_in_ch=c_in),
+                         c_in, h, w, interpret=interp)
+            c_in = layer.out_ch
+        return hiw_exit(t, h, w)
 
 
 class SEDRFuse(nn.Module):

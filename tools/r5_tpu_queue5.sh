@@ -17,7 +17,7 @@ print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r5q5'; exit 1; }
 
 echo "=== $(date) hiw nest gate + timing (nestfuse, rfnnest)"
-MODELS=nestfuse,rfnnest,unfusion,myfusion,res2fusion,mafusion ITERS=3 LIMIT=3 \
+MODELS=nestfuse,rfnnest,unfusion,myfusion,res2fusion,mafusion,dbnet ITERS=3 LIMIT=3 \
   timeout 9000 python tools/probe_hiw_zoo.py
 echo "--- probe_hiw_zoo exit: $?"
 
@@ -27,7 +27,7 @@ echo "--- autoflip_multi exit: $?"
 
 echo "=== $(date) zoo re-bench: nest models + the four flat models whose"
 echo "    queue-2b re-bench ran before the autoflip landed (stale rows)"
-timeout 9000 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion vifnet pfnetv1 ifcnn difnet
+timeout 9000 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion dbnet vifnet pfnetv1 ifcnn difnet
 echo "--- bench_zoo exit: $?"
 git add docs/zoo_bench.jsonl && git commit -m "Re-bench the gated H-major zoo rows (nest + flipped flat models)" || true
 

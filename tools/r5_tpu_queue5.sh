@@ -18,16 +18,16 @@ print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 
 echo "=== $(date) hiw nest gate + timing (nestfuse, rfnnest)"
 MODELS=nestfuse,rfnnest,unfusion,myfusion,res2fusion,mafusion,dbnet ITERS=3 LIMIT=3 \
-  timeout 9000 python tools/probe_hiw_zoo.py
+  timeout 12000 python tools/probe_hiw_zoo.py
 echo "--- probe_hiw_zoo exit: $?"
 
 echo "=== $(date) r5 multi-leg default autoflip (nest)"
 timeout 2400 python tools/r5_autoflip_multi.py
 echo "--- autoflip_multi exit: $?"
 
-echo "=== $(date) zoo re-bench: nest models + the four flat models whose"
-echo "    queue-2b re-bench ran before the autoflip landed (stale rows)"
-timeout 9000 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion dbnet vifnet pfnetv1 ifcnn difnet
+echo "=== $(date) zoo re-bench: heavy-tail models under the gated defaults"
+# (queue 2b already re-measured the four flat models post-flip)
+timeout 9000 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion dbnet
 echo "--- bench_zoo exit: $?"
 git add docs/zoo_bench.jsonl && git commit -m "Re-bench the gated H-major zoo rows (nest + flipped flat models)" || true
 

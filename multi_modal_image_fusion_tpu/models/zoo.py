@@ -243,6 +243,9 @@ class PFNetv2(_FusionModel):
         from ..ops.layers import chain_ready
 
         if img2 is not None and not train and chain_ready():
+            from ..ops.pallas.hiw_kernel import hiw_multi_enabled
+            if hiw_multi_enabled("pfnetv2"):
+                return self._hiw_forward(img1, img2)
             from ..ops.pallas.conv_kernel import chain_enter, chain_exit
 
             # chain fast path: the channels-into-batch fuse-net fold is a
@@ -265,6 +268,50 @@ class PFNetv2(_FusionModel):
         feat1 = self.encoder(img1, train)
         feat2 = self.encoder(img2, train)
         return self.decoder(self.fusion(feat1, feat2, train), train)
+
+    def _hiw_forward(self, img1, img2):
+        """H-major path (round 5): dense encoder as multi-leg banded
+        dots (pfnetv1 pattern), and the per-channel 2->2->2->1 fuse net
+        as ONE block-diagonal banded conv per layer — the shared
+        (3,3,2,2) params tile across the 64 channel groups at trace
+        time (hiw_scale.hiw_group_weights), replacing the
+        channels-into-batch fold (reference model.py:134-141)."""
+        from ..ops.pallas.hiw_kernel import (conv_hiw_chain, hiw_enter,
+                                             hiw_exit)
+        from ..ops.pallas.hiw_scale import hiw_conv, hiw_group_weights
+
+        interp = _hiw_interp()
+        n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+        legs = _hiw_dense_legs(
+            hiw_enter(jnp.concatenate([img1, img2], axis=0)),
+            self.conv_in, self.dense, h, w, n_out=2 * n)
+        wp = legs[0][0].shape[2]
+        hg = legs[0][0].shape[1] // 16
+        # (2n, HG, 64, Wp) feature; channel-interleaved (c, {f1,f2})
+        # 128-ch fuse input is one stack + reshape
+        v = jnp.concatenate(
+            [t.reshape(2 * n, hg, 16, wp) for t, _, _ in legs], axis=2)
+        f1, f2 = v[:n], v[n:]
+        z = jnp.stack([f1, f2], axis=3).reshape(n, hg * 128, wp)
+        groups, c_in = 64, 128
+        for layer in self.fuse_layers:
+            wgt, bias, k, act = layer(None, chain_hw=(h, w),
+                                      chain_defer_in_ch=2)
+            wfull = hiw_group_weights(wgt, groups)
+            bfull = (jnp.tile(jnp.asarray(bias), groups)
+                     if bias is not None else None)
+            z = conv_hiw_chain(z, wfull.astype(z.dtype), k, h=h,
+                               w_valid=w, c_in=c_in, bias=bfull, act=act,
+                               interpret=interp)
+            c_in = groups * layer.out_ch
+        t = z + (f1 + f2).reshape(n, hg * 64, wp)
+        c_in = 64
+        for layer in self.decode_layers:
+            t = hiw_conv(t, layer(None, chain_hw=(h, w),
+                                  chain_defer_in_ch=c_in),
+                         c_in, h, w, interpret=interp)
+            c_in = layer.out_ch
+        return hiw_exit(t, h, w)
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,20 @@ def hiw_enter_c(x):
     return hiw_place(jnp.transpose(x, (0, 1, 3, 2)))
 
 
+def hiw_group_weights(w, groups):
+    """Shared per-group HWIO weights (k, k, cg_in, cg_out) -> full
+    block-diagonal HWIO (k, k, groups*cg_in, groups*cg_out). Runs a
+    grouped conv (shared weights across groups, e.g. PFNetv2's
+    per-channel fuse net) as ONE dense banded strip kernel — the MXU
+    eats the off-block zeros at full rate and the materialized weights
+    stay tiny (PFNetv2: 3x3x128x128 bf16 = 294 KB)."""
+    k1, k2, cgi, cgo = w.shape
+    eye = jnp.eye(groups, dtype=w.dtype)
+    return (eye[None, None, :, None, :, None]
+            * w[:, :, None, :, None, :]).reshape(
+                k1, k2, groups * cgi, groups * cgo)
+
+
 def hiw_valid(xt, c, h, w):
     """(B, HG*C, Wp) H-major chain tensor -> valid NHCW view
     (B, h, C, w)."""

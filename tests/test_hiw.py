@@ -251,7 +251,7 @@ def test_hiw_multi_gray_legs():
 @pytest.mark.slow
 @pytest.mark.parametrize("name", [
     "densefuse", "vifnet", "pfnetv1", "ifcnn", "difnet", "pmgi",
-    "nestfuse", "rfnnest", "unfusion", "myfusion", "res2fusion", "mafusion", "dbnet"])
+    "nestfuse", "rfnnest", "unfusion", "myfusion", "res2fusion", "mafusion", "dbnet", "pfnetv2"])
 def test_model_hiw_path_parity(name, monkeypatch):
     """Whole-model forwards through the multi-leg H-major chain
     (MMIF_CHAIN_HIW=1, interpret kernels) == the plain NHWC forwards."""

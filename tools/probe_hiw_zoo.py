@@ -25,10 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 MODELS = ["densefuse", "vifnet", "pfnetv1", "ifcnn", "difnet", "pmgi",
-          "nestfuse", "rfnnest", "unfusion", "myfusion", "res2fusion", "mafusion", "dbnet"]
+          "nestfuse", "rfnnest", "unfusion", "myfusion", "res2fusion", "mafusion", "dbnet", "pfnetv2"]
 # full-res timing batch per model (HBM-capacity-bound heavy tail runs
 # smaller — mirrors docs/zoo_bench.jsonl batches)
-MODEL_B = {"nestfuse": 4, "rfnnest": 4, "unfusion": 4, "myfusion": 8, "res2fusion": 2, "mafusion": 2, "dbnet": 8}
+MODEL_B = {"nestfuse": 4, "rfnnest": 4, "unfusion": 4, "myfusion": 8, "res2fusion": 2, "mafusion": 2, "dbnet": 8, "pfnetv2": 8}
 
 
 def main():

@@ -23,7 +23,7 @@ LOG = "docs/r5_queue_results.log"
 HIW = "multi_modal_image_fusion_tpu/ops/pallas/hiw_kernel.py"
 PARITY_TESTS = ["tests/test_hiw.py"]
 ALL_MULTI = ["densefuse", "vifnet", "pfnetv1", "ifcnn", "difnet", "pmgi",
-             "nestfuse", "rfnnest", "unfusion", "myfusion", "res2fusion", "mafusion", "dbnet"]
+             "nestfuse", "rfnnest", "unfusion", "myfusion", "res2fusion", "mafusion", "dbnet", "pfnetv2"]
 
 
 def parse(path):

@@ -17,7 +17,7 @@ print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r5q5'; exit 1; }
 
 echo "=== $(date) hiw nest gate + timing (nestfuse, rfnnest)"
-MODELS=nestfuse,rfnnest,unfusion,myfusion,res2fusion,mafusion,dbnet ITERS=3 LIMIT=3 \
+MODELS=nestfuse,rfnnest,unfusion,myfusion,res2fusion,mafusion,dbnet,pfnetv2 ITERS=3 LIMIT=3 \
   timeout 12000 python tools/probe_hiw_zoo.py
 echo "--- probe_hiw_zoo exit: $?"
 
@@ -27,7 +27,7 @@ echo "--- autoflip_multi exit: $?"
 
 echo "=== $(date) zoo re-bench: heavy-tail models under the gated defaults"
 # (queue 2b already re-measured the four flat models post-flip)
-timeout 9000 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion dbnet
+timeout 9000 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion dbnet pfnetv2
 echo "--- bench_zoo exit: $?"
 git add docs/zoo_bench.jsonl && git commit -m "Re-bench the gated H-major zoo rows (nest + flipped flat models)" || true
 

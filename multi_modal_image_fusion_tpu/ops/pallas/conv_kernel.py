@@ -28,7 +28,7 @@ Two entry points:
 
 Contract: stride 1, groups 1, odd k, input pre-padded (any mode) so the
 kernel computes VALID. Superseded intermediate designs (rounds 1-2) live
-in ops/pallas/archive.py with their measured numbers.
+in tools/pallas_archive.py with their measured numbers.
 """
 
 import functools

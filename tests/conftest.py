@@ -13,8 +13,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+import sys  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# tools/ holds the superseded-kernel archive (tools/pallas_archive.py)
+# whose parity tests keep the docs/PERFORMANCE.md journey reproducible
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 

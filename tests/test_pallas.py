@@ -46,7 +46,7 @@ def test_fused_ssim_kernel_metric_sigma():
 def test_shifted_gemm_conv_parity(k, cin, cout):
     import jax
 
-    from multi_modal_image_fusion_tpu.ops.pallas.archive import \
+    from pallas_archive import \
         conv_shifted_gemm
 
     r = np.random.RandomState(0)
@@ -100,7 +100,7 @@ def test_moments_kernel_parity():
 def test_tlane_conv_parity():
     import jax
 
-    from multi_modal_image_fusion_tpu.ops.pallas.archive import \
+    from pallas_archive import \
         conv_shifted_gemm_tlane
 
     r = np.random.RandomState(0)
@@ -117,7 +117,7 @@ def test_tlane_conv_parity():
 def test_ilane_conv_parity():
     import jax
 
-    from multi_modal_image_fusion_tpu.ops.pallas.archive import \
+    from pallas_archive import \
         conv_shifted_gemm_ilane
 
     r = np.random.RandomState(0)

@@ -20,7 +20,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from multi_modal_image_fusion_tpu.ops.pallas import archive as ck
+    import pallas_archive as ck
 
     variants = sys.argv[1:] or ["xla", "tlane2"]
     B = int(os.environ.get("B", "8"))

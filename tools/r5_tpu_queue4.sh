@@ -38,6 +38,11 @@ echo "=== $(date) bf16 headline bench (current default, for the margin)"
 timeout 1500 python bench.py
 echo "--- exit: $?"
 
+echo "=== $(date) headline batch sweep (b24/b32, dispatch amortization)"
+BENCH_BATCH=24 timeout 1200 python bench.py
+BENCH_BATCH=32 timeout 1200 python bench.py
+echo "--- exit: $?"
+
 echo "=== $(date) r5 int8 autoflip"
 timeout 3600 python tools/r5_autoflip_int8.py
 echo "--- autoflip_int8 exit: $?"

@@ -43,24 +43,28 @@ _TIER_SLOW_FN = {
     "test_deepfuse_s2d_io_path_bit_identical",  # 31s; s2d chain parity stays
     "test_multiscale_parity_under_jit_batch",   # 29s
     "test_chain_conv_channel_chunked_wide_layer",  # 23s
+    "test_two_stage_training",            # 62s; AE flow covered by test_autoencoder_mode + resume
+    "test_multiscale_spatial_parity_4dev",  # 62s; single-scale spatial reps stay fast
 }
 
 # param sweeps: ids kept in the fast tier (everything else -> slow)
 _TIER_KEEP = {
-    "test_model_chain_fast_path_parity": {"densefuse", "res2fusion"},
-    "test_multiscale_spatial_parity_4dev": {"nestfuse-128"},
+    "test_model_chain_fast_path_parity": {"densefuse"},
     "test_multiscale_parity_4tiles": {"nestfuse"},
-    "test_odd_input_sizes": {"deepfuse-size0", "nestfuse-size0",
-                             "sedrfuse-size1"},
+    "test_odd_input_sizes": {"deepfuse-size0", "sedrfuse-size1"},
     "test_parity_all_eligible_models_4dev": {"deepfuse", "nestfuse"},
-    "test_zoo_forward_parity": {"deepfuse", "densefuse", "nestfuse",
-                                "sedrfuse"},
+    "test_zoo_forward_parity": {"deepfuse", "densefuse", "sedrfuse"},
     "test_forward_shapes": {"deepfuse", "densefuse", "vifnet", "ifcnn",
                             "difnet", "pmgi", "pfnetv1", "sedrfuse"},
     "test_param_count_matches_reference": {
         "deepfuse", "densefuse", "vifnet", "ifcnn", "difnet", "pmgi",
-        "pfnetv1", "pfnetv2", "dbnet", "sedrfuse", "nestfuse"},
+        "pfnetv1", "pfnetv2", "dbnet", "sedrfuse"},
     "test_model_hiw_path_parity": {"densefuse"},
+    "test_myfusion_forward_parity": {"default"},
+    "test_autoencoder_mode": {"densefuse", "nestfuse"},
+    "test_myfusion_share_levels": {"2"},
+    "test_myfusion_design_space": {"plain-mix", "nest-sep"},
+    "test_parity_all_eligible_models_4tiles": {"densefuse", "ifcnn"},
 }
 
 

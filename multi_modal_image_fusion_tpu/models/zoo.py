@@ -1191,22 +1191,42 @@ class Res2Fusion(_FusionModel):
         return super().__call__(img1, img2, train)
 
     def _hiw_forward(self, img1, img2):
-        """H-major decode (round 5): NHWC encoder + streamed nl fusion,
-        then the 112->64->32->16->1 k3 decoder as H-major strip kernels
-        (reference model.py forward for Res2Fusion)."""
-        from ..ops.pallas.hiw_kernel import hiw_exit
-        from ..ops.pallas.hiw_scale import hiw_conv, hiw_enter_c
+        """H-major forward (round 5): the WHOLE encoder runs in the
+        chain layout — the Res2 blocks' hierarchical dw chains as
+        diagonal banded dots, the dense growth concats as leg lists
+        never materialized. The nl fusion needs NHWC (flash kernel /
+        streamed attention), so the 112-ch feature exits for fusion and
+        re-enters for the 112->64->32->16->1 decode (two transpose
+        passes). Reference model.py forward for Res2Fusion."""
+        from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
+        from ..ops.pallas.hiw_scale import (hiw_conv, hiw_enter_c,
+                                            hiw_mconv, hiw_to_nhwc)
 
         interp = _hiw_interp()
         n, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
-        feat = self.encoder(jnp.concatenate([img1, img2], axis=0), False)
+        t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+        x16 = hiw_conv(t, self.conv_in(None, chain_hw=(h, w),
+                                       chain_defer_in_ch=1),
+                       1, h, w, interpret=interp)
+        r1 = self.RB1(x16, train=False, chain_hw=(h, w), hiw_c_in=16)
+        r2 = self.RB2([(x16, 16, 0), (r1, 32, 0)], train=False,
+                      chain_hw=(h, w), hiw_c_in=48)
+        legs = [(x16, 16, 0), (r1, 32, 0), (r2, 64, 0)]
         if self.fusion_method == "elem":
-            t = hiw_enter_c(feat)
-            t = element_fusion(t[:n], t[n:], "mean")
+            fused_legs = [(element_fusion(t_[:n], t_[n:], "mean"), c, 0)
+                          for t_, c, _ in legs]
+            t = hiw_mconv(fused_legs, self.dec[0](
+                None, chain_hw=(h, w), chain_defer_in_ch=112), h, w,
+                n_out=n, interpret=interp)
         else:
+            feat = jnp.concatenate(
+                [hiw_to_nhwc(t_, c, h, w) for t_, c, _ in legs], axis=-1)
             t = hiw_enter_c(self.fusion(feat[:n], feat[n:]))
-        c_in = feat.shape[-1]
-        for layer in self.dec:
+            t = hiw_conv(t, self.dec[0](None, chain_hw=(h, w),
+                                        chain_defer_in_ch=112),
+                         112, h, w, interpret=interp)
+        c_in = self.dec[0].out_ch
+        for layer in self.dec[1:]:
             t = hiw_conv(t, layer(None, chain_hw=(h, w),
                                   chain_defer_in_ch=c_in),
                          c_in, h, w, interpret=interp)
@@ -1712,26 +1732,61 @@ class MyFusion(nn.Module):
         return self.conv_out(self.decode(fused, train), train)
 
     def _hiw_forward(self, img1, img2):
-        """Reference model.py:630-842 forward, H-major decode."""
+        """Reference model.py:630-842 forward, H-major. With a fully
+        siamese-shared sep/res2 encoder (share_weight_levels == 4,
+        myfusion's default config) the WHOLE model runs in the chain
+        layout — the strided TransitionBlock downs become per-channel
+        weighted stride-pools on the valid view, the Sep/Res2 dw convs
+        run as diagonal banded dots. Other encoder configs keep the
+        hybrid route (NHWC encoder, H-major fusion + decode)."""
         from ..ops.fusion import element_fusion
-        from ..ops.pallas.hiw_kernel import hiw_exit
+        from ..ops.pallas.hiw_kernel import hiw_enter, hiw_exit
         from ..ops.pallas.hiw_scale import (hiw_attention_fusion,
                                             hiw_conv, hiw_enter_c)
 
         interp = _hiw_interp()
         ch = self.num_ch
         n = img1.shape[0]
-        feats1, feats2 = self.encoder_fn(img1, img2, False)
-        hws = [(f.shape[1], f.shape[2]) for f in feats1]
-        fused = []
-        for f1, f2, c, hw in zip(feats1, feats2, ch, hws):
-            t = hiw_enter_c(jnp.concatenate([f1, f2], axis=0))
-            if self.fusion_method == "elem":
-                fused.append(element_fusion(t[:n], t[n:],
-                                            self.fusion_mode))
-            else:
-                fused.append(hiw_attention_fusion(
-                    t, n, c, *hw, mode=self.fusion_mode))
+        enc = (self.encoder if not isinstance(self.encoder, str)
+               else [self.encoder] * 4)
+        full = (self.share_weight_levels == 4
+                and all(e in ("sep", "res2") for e in enc))
+        if full:
+            hw = (img1.shape[1], img1.shape[2])
+            t = hiw_enter(jnp.concatenate([img1, img2], axis=0))
+            t = hiw_conv(t, self.conv_in_1(None, chain_hw=hw,
+                                           chain_defer_in_ch=1),
+                         1, *hw, interpret=interp)
+            feats, hws, c_in = [], [], 8
+            downs = (self.down1_1, self.down2_1, self.down3_1,
+                     self.down4_1)
+            ebs = (self.EB1_1, self.EB2_1, self.EB3_1, self.EB4_1)
+            for down, eb, c_out in zip(downs, ebs, ch):
+                t, hw = down(t, train=False, chain_hw=hw, hiw_c_in=c_in)
+                t = eb(t, train=False, chain_hw=hw, hiw_c_in=c_out)
+                feats.append(t)
+                hws.append(hw)
+                c_in = c_out
+            fused = []
+            for f, c, hw in zip(feats, ch, hws):
+                if self.fusion_method == "elem":
+                    fused.append(element_fusion(f[:n], f[n:],
+                                                self.fusion_mode))
+                else:
+                    fused.append(hiw_attention_fusion(
+                        f, n, c, *hw, mode=self.fusion_mode))
+        else:
+            feats1, feats2 = self.encoder_fn(img1, img2, False)
+            hws = [(f.shape[1], f.shape[2]) for f in feats1]
+            fused = []
+            for f1, f2, c, hw in zip(feats1, feats2, ch, hws):
+                t = hiw_enter_c(jnp.concatenate([f1, f2], axis=0))
+                if self.fusion_method == "elem":
+                    fused.append(element_fusion(t[:n], t[n:],
+                                                self.fusion_mode))
+                else:
+                    fused.append(hiw_attention_fusion(
+                        t, n, c, *hw, mode=self.fusion_mode))
         y = self.decode(fused, train=False, chain_hws=hws, hiw=True)
         out = hiw_conv(y, self.conv_out(None, chain_hw=hws[0],
                                         chain_defer_in_ch=ch[0]),

@@ -104,10 +104,47 @@ class SepConvBlock(nn.Module):
     attention: bool = False
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, chain_hw=None, hiw_c_in=None):
+        kw = dict(use_bias=self.use_bias, norm=self.norm)
+        if hiw_c_in is not None:
+            # H-major route (round 5, ops/pallas/hiw_scale.py): the dw
+            # runs as a diagonal banded dot; everything is stride-1 so
+            # the whole block stays in the chain layout.
+            import os
+
+            from .pallas.hiw_scale import hiw_conv
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+            c, (h, w) = hiw_c_in, chain_hw
+            hid_ch = c * self.scale
+
+            def dfr(name, ks, out, c_in, groups=1, act=None):
+                return ConvLayer(out, ksize=ks, groups=groups, act=act,
+                                 name=name, **kw)(
+                    None, train, chain_hw=chain_hw,
+                    chain_defer_in_ch=c_in)
+
+            if self.residual:
+                res = (hiw_conv(x, dfr("shortcut", 1, self.out_ch, c),
+                                c, h, w, interpret=interp)
+                       if c != self.out_ch else x)
+            if self.attention:
+                attn = hiw_conv(x, dfr("pwconv", 1, hid_ch, c,
+                                       act=self.act), c, h, w,
+                                interpret=interp)
+            out = hiw_conv(x, dfr("pwconv1", 1, hid_ch, c, act=self.act),
+                           c, h, w, interpret=interp)
+            out = hiw_conv(out, dfr("dwconv", self.ksize, hid_ch, hid_ch,
+                                    groups=hid_ch), hid_ch, h, w,
+                           interpret=interp)
+            if self.attention:
+                out = out * attn
+            out = hiw_conv(out, dfr("pwconv2", 1, self.out_ch, hid_ch),
+                           hid_ch, h, w, interpret=interp)
+            if self.residual:
+                out = out + res
+            return get_act(self.act)(out)
         in_ch = x.shape[-1]
         hid_ch = in_ch * self.scale
-        kw = dict(use_bias=self.use_bias, norm=self.norm)
 
         if self.residual:
             if in_ch != self.out_ch:
@@ -200,11 +237,73 @@ class Res2ConvBlock(nn.Module):
     attention: bool = False
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, chain_hw=None, hiw_c_in=None):
+        kw = dict(use_bias=self.use_bias, norm=self.norm)
+        if hiw_c_in is not None:
+            # H-major route (round 5): x is one chain tensor OR a leg
+            # list [(tensor, c, b_off), ...] (Res2Fusion's dense
+            # concats are never materialized — the k1 entry convs
+            # consume the legs directly); the hierarchical dw chain
+            # runs as diagonal banded dots; pwconv2 consumes the
+            # per-group outputs as legs.
+            import os
+
+            from .pallas.hiw_scale import hiw_channels, hiw_conv, \
+                hiw_mconv
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+            c, (hh, ww) = hiw_c_in, chain_hw
+            hid_ch = c * self.scale
+            width = c
+            legs = x if isinstance(x, (tuple, list)) else None
+
+            def dfr(name, ks, out, c_in, groups=1, act=None):
+                return ConvLayer(out, ksize=ks, groups=groups, act=act,
+                                 name=name, **kw)(
+                    None, train, chain_hw=chain_hw,
+                    chain_defer_in_ch=c_in)
+
+            def k1(params, inp, c_in):
+                if isinstance(inp, (tuple, list)):
+                    n_out = inp[0][0].shape[0]
+                    return hiw_mconv(list(inp), params, hh, ww,
+                                     n_out=n_out, interpret=interp)
+                return hiw_conv(inp, params, c_in, hh, ww,
+                                interpret=interp)
+
+            if self.residual:
+                assert legs is None or c != self.out_ch, \
+                    "identity residual over legs is not hiw-wired"
+                res = (k1(dfr("shortcut", 1, self.out_ch, c), x, c)
+                       if c != self.out_ch else x)
+            if self.attention:
+                attn = k1(dfr("pwconv", 1, hid_ch, c, act=self.act), x, c)
+
+            hexp = k1(dfr("pwconv1", 1, hid_ch, c, act=self.act), x, c)
+            # dead parameter set kept for parity (see the eager path)
+            _ = dfr("dwconv", 3, hid_ch, hid_ch, groups=hid_ch)
+            outs = []
+            y = None
+            for i in range(self.scale):
+                xi = hiw_channels(hexp, hid_ch, i * width, width)
+                y = xi if i <= 1 else y + xi
+                y = hiw_conv(y, dfr(f"dwconv{i}", 3 if i > 0 else 1,
+                                    width, width, groups=width),
+                             width, hh, ww, interpret=interp)
+                outs.append(y)
+
+            if self.attention:
+                # attn gates the CONCAT of outs; gate each leg by its
+                # channel slice of attn
+                outs = [o * hiw_channels(attn, hid_ch, i * width, width)
+                        for i, o in enumerate(outs)]
+            out = k1(dfr("pwconv2", 1, self.out_ch, hid_ch),
+                     [(o, width, 0) for o in outs], hid_ch)
+            if self.residual:
+                out = out + res
+            return get_act(self.act)(out)
         in_ch = x.shape[-1]
         hid_ch = in_ch * self.scale
         width = in_ch
-        kw = dict(use_bias=self.use_bias, norm=self.norm)
 
         if self.residual:
             if in_ch != self.out_ch:
@@ -440,9 +539,41 @@ class TransitionBlock(nn.Module):
     down_mode: str = "stride"
 
     @nn.compact
-    def __call__(self, x, train=False):
-        in_ch = x.shape[-1]
+    def __call__(self, x, train=False, chain_hw=None, hiw_c_in=None):
         kw = dict(use_bias=self.use_bias, norm=self.norm, act=self.act)
+        if hiw_c_in is not None:
+            # H-major route (round 5): the strided dw down runs as a
+            # per-channel weighted stride-pool on the valid view
+            # (hiw_scale.hiw_stride_dw — no kernel); returns
+            # (tensor, (h', w')) at the downsampled geometry.
+            import os
+
+            from .pallas.hiw_scale import (hiw_conv, hiw_max_pool,
+                                           hiw_stride_dw)
+            interp = bool(os.environ.get("MMIF_CHAIN_INTERPRET"))
+            c, (h, w) = hiw_c_in, chain_hw
+            if self.down_mode == "maxpool":
+                if self.stride > 1:
+                    x, (h, w) = hiw_max_pool(x, c, h, w, self.stride)
+            elif self.down_mode == "stride":
+                wd, bd, ks, act = ConvLayer(
+                    c, ksize=self.stride, stride=self.stride, padding=0,
+                    groups=c, name="dw", **kw)(
+                    None, train, chain_hw=(h, w), chain_defer_in_ch=c)
+                if self.stride == 1:
+                    x = hiw_conv(x, (wd, bd, ks, act), c, h, w,
+                                 interpret=interp)
+                else:
+                    x, (h, w) = hiw_stride_dw(x, c, h, w, wd, bd, act,
+                                              stride=self.stride)
+            else:
+                raise ValueError(self.down_mode)
+            x = hiw_conv(x, ConvLayer(self.out_ch, ksize=1, name="pw",
+                                      **kw)(None, train, chain_hw=(h, w),
+                                            chain_defer_in_ch=c),
+                         c, h, w, interpret=interp)
+            return x, (h, w)
+        in_ch = x.shape[-1]
         if self.down_mode == "maxpool":
             if self.stride > 1:
                 x = max_pool(x, self.stride, self.stride)

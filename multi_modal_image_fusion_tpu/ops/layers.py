@@ -383,15 +383,22 @@ class ConvLayer(nn.Module):
             # eager chain path requires ungrouped convs
             dw_defer = (self.groups > 1 and chain_defer_in_ch is not None
                         and self.groups == chain_defer_in_ch == self.out_ch)
+            # strided dw (ksize == stride, padding 0: the TransitionBlock
+            # down) may also DEFER — the caller runs it as a weighted
+            # stride-pool on the valid view (hiw_scale.hiw_stride_dw)
+            sdw_defer = (dw_defer and self.stride == self.ksize
+                         and self.padding == 0)
             assert (self.pre_norm is None and not self.transpose
-                    and self.stride == 1
+                    and (self.stride == 1 or sdw_defer)
                     and (self.groups == 1 or dw_defer)
                     and self.dilation == 1 and not train
-                    and (self.ksize == 1 or pad == self.ksize // 2)
+                    and (self.ksize == 1 or sdw_defer
+                         or pad == self.ksize // 2)
                     and self.norm in (None, "batch")
                     # chain halos are reflect-mirrored (chain_refresh_halo);
                     # a zero/constant-pad layer must not take this path
-                    and (self.ksize == 1 or self.pad_mode == "reflect"))
+                    and (self.ksize == 1 or sdw_defer
+                         or self.pad_mode == "reflect"))
             assert parts is None or (chain_defer_in_ch is None
                                      and not chain_fuse_n)
             from .pallas.conv_kernel import conv_tlane_chain

@@ -41,6 +41,41 @@ def hiw_enter_c(x):
     return hiw_place(jnp.transpose(x, (0, 1, 3, 2)))
 
 
+def hiw_to_nhwc(xt, c, h, w):
+    """H-major chain tensor -> NHWC (valid region; one transpose pass).
+    Inverse of hiw_enter_c."""
+    return jnp.transpose(hiw_valid(xt, c, h, w), (0, 1, 3, 2))
+
+
+def hiw_channels(xt, c, lo, n):
+    """Channel slice [lo, lo+n) of an H-major chain tensor (view
+    reshape; guard rows come along untouched)."""
+    b, hgc, wp = xt.shape
+    v = xt.reshape(b, hgc // c, c, wp)[:, :, lo:lo + n, :]
+    return v.reshape(b, -1, wp)
+
+
+def hiw_stride_dw(xt, c, h, w, wdw, bias=None, act=None, stride=2):
+    """Depthwise conv with ksize == stride, padding 0 (the reference
+    TransitionBlock's strided dw down, block.py TransitionBlock): a
+    per-channel WEIGHTED stride x stride pool on the valid view — s^2
+    slice-multiply-adds, pure XLA, no kernel. wdw: (s, s, C)."""
+    from ..layers import get_act
+
+    v = hiw_valid(xt, c, h, w).astype(jnp.float32)
+    s = stride
+    oh, ow = (h - s) // s + 1, (w - s) // s + 1
+    out = None
+    for di in range(s):
+        for dj in range(s):
+            piece = v[:, di:di + s * oh:s, :, dj:dj + s * ow:s] \
+                * wdw[di, dj].astype(jnp.float32)[None, None, :, None]
+            out = piece if out is None else out + piece
+    if bias is not None:
+        out = out + jnp.asarray(bias, jnp.float32)[None, None, :, None]
+    return hiw_place(get_act(act)(out).astype(xt.dtype)), (oh, ow)
+
+
 def hiw_group_weights(w, groups):
     """Shared per-group HWIO weights (k, k, cg_in, cg_out) -> full
     block-diagonal HWIO (k, k, groups*cg_in, groups*cg_out). Runs a

@@ -53,9 +53,15 @@ def main():
             img2 = jnp.asarray(r.rand(B, H, W, 1), jnp.bfloat16)
 
             def enc_only(m, a, b, train=False):
+                if hasattr(m, "encoder_fn"):        # MyFusion
+                    f1, f2 = m.encoder_fn(a, b, False)
+                    return tuple(f1) + tuple(f2)
                 return m.encoder(jnp.concatenate([a, b], axis=0), False)
 
             def enc_fuse(m, a, b, train=False):
+                if hasattr(m, "encoder_fn"):        # MyFusion
+                    f1, f2 = m.encoder_fn(a, b, False)
+                    return m.fusion(f1, f2, False)
                 f = m.encoder(jnp.concatenate([a, b], axis=0), False)
                 n = a.shape[0]
                 if isinstance(f, (tuple, list)):

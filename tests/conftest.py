@@ -65,6 +65,10 @@ _TIER_KEEP = {
     "test_myfusion_share_levels": {"2"},
     "test_myfusion_design_space": {"plain-mix", "nest-sep"},
     "test_parity_all_eligible_models_4tiles": {"densefuse", "ifcnn"},
+    "test_convert_structure": {"deepfuse", "densefuse", "vifnet",
+                               "ifcnn", "difnet", "pmgi", "pfnetv1",
+                               "pfnetv2", "dbnet", "sedrfuse",
+                               "nestfuse", "rfnnest", "res2fusion"},
 }
 
 

@@ -91,3 +91,26 @@ def test_hiw_attention_fusion(mode):
     np.testing.assert_allclose(
         np.asarray(_from_hmajor(got, c, h, w)), np.asarray(want),
         rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("h,w", [(20, 32), (21, 33)])
+def test_hiw_stride_dw(h, w):
+    """Strided dw (ksize == stride == 2, padding 0) as a weighted
+    stride-pool == the grouped XLA conv (TransitionBlock down)."""
+    from multi_modal_image_fusion_tpu.ops.pallas.hiw_scale import (
+        hiw_stride_dw)
+    r = np.random.RandomState(5)
+    c = 16
+    x = jnp.asarray(r.rand(2, h, w, c) - 0.5, jnp.float32)
+    wd = jnp.asarray(r.rand(2, 2, c) - 0.5, jnp.float32)
+    bias = jnp.asarray(r.rand(c) - 0.5, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, wd[:, :, None, :], (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    want = jnp.clip(want + bias, 0.0, 6.0)
+    got, (oh, ow) = hiw_stride_dw(_to_hmajor(x), c, h, w, wd, bias,
+                                  "relu6", stride=2)
+    assert (oh, ow) == (want.shape[1], want.shape[2])
+    np.testing.assert_allclose(
+        np.asarray(_from_hmajor(got, c, oh, ow)), np.asarray(want),
+        rtol=1e-5, atol=1e-6)

@@ -1,9 +1,8 @@
 #!/bin/bash
-# Round-5 queue 3 (VERDICT #5): re-bench sedrfuse and myfusion under the
-# flipped formulation defaults (MMIF_SUBPIXEL_DECONV / MMIF_DW_SHIFTED
-# now default OFF per the queue-12 A/B) so docs/zoo_bench.jsonl records
-# the best-known measured configs, then the amp convergence leg
-# (VERDICT #7) and its autoflip.
+# Round-5 queue 6 (VERDICT #7): the amp bf16 convergence leg (12-epoch
+# f32-vs-bf16 reference recipe) and its autoflip. The sedrfuse/myfusion
+# re-bench that used to lead this queue moved to r5_tpu_queue4b.sh so it
+# lands before the long heavy-tail queue 5.
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 exec > >(tee -a /root/repo/docs/r5_queue_results.log) 2>&1
@@ -14,11 +13,6 @@ import jax, jax.numpy as jnp
 print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r5q6'; exit 1; }
-
-echo "=== $(date) zoo re-bench: sedrfuse + myfusion (formulation defaults OFF)"
-timeout 5400 python tools/bench_zoo.py sedrfuse myfusion
-echo "--- bench_zoo exit: $?"
-git add docs/zoo_bench.jsonl && git commit -m "Re-bench sedrfuse/myfusion under the measured formulation defaults" || true
 
 echo "=== $(date) amp bf16 convergence leg (12-epoch reference recipe)"
 timeout 5400 python tools/probe_amp_convergence.py

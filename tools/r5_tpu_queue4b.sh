@@ -15,7 +15,7 @@ print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r5q4b'; exit 1; }
 
-echo "=== $(date) zoo re-bench: sedrfuse + myfusion (formulation defaults OFF)"
-timeout 5400 python tools/bench_zoo.py sedrfuse myfusion
+echo "=== $(date) zoo re-bench: deepfuse (stale pre-g-table row) + sedrfuse + myfusion (formulation defaults OFF)"
+timeout 5400 python tools/bench_zoo.py deepfuse sedrfuse myfusion
 echo "--- bench_zoo exit: $?"
-git add docs/zoo_bench.jsonl && git commit -m "Re-bench sedrfuse/myfusion under the measured formulation defaults" || true
+git add docs/zoo_bench.jsonl && git commit -m "Re-bench deepfuse/sedrfuse/myfusion under current defaults" || true

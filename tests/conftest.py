@@ -45,24 +45,29 @@ _TIER_SLOW_FN = {
     "test_chain_conv_channel_chunked_wide_layer",  # 23s
     "test_two_stage_training",            # 62s; AE flow covered by test_autoencoder_mode + resume
     "test_multiscale_spatial_parity_4dev",  # 62s; single-scale spatial reps stay fast
+    # -- second pass (durations 2026-08-20, warm 862s -> target ~600s) --
+    "test_spatial_train_step_matches_single_device",  # 42s; dryrun leg 5 + fwd spatial reps stay
+    "test_multiscale_parity_4tiles",      # 30s; tiling non-default, 4tiles single-scale reps stay
+    "test_myfusion_share_levels",         # 36s; forward_parity[default] + design_space reps stay
+    "test_multiscale_rejects_misaligned_slabs",  # 16s error path
+    "test_parity_2dev_top_bottom_only",   # 16s; 8dev+batch and 4dev model reps stay
+    "test_five_step_loss_trajectory_matches_single_device",  # 13s; single-step DP parity stays
 }
 
 # param sweeps: ids kept in the fast tier (everything else -> slow)
 _TIER_KEEP = {
     "test_model_chain_fast_path_parity": {"densefuse"},
-    "test_multiscale_parity_4tiles": {"nestfuse"},
     "test_odd_input_sizes": {"deepfuse-size0", "sedrfuse-size1"},
     "test_parity_all_eligible_models_4dev": {"deepfuse", "nestfuse"},
     "test_zoo_forward_parity": {"deepfuse", "densefuse", "sedrfuse"},
     "test_forward_shapes": {"deepfuse", "densefuse", "vifnet", "ifcnn",
-                            "difnet", "pmgi", "pfnetv1", "sedrfuse"},
+                            "difnet", "pmgi", "pfnetv1"},
     "test_param_count_matches_reference": {
         "deepfuse", "densefuse", "vifnet", "ifcnn", "difnet", "pmgi",
-        "pfnetv1", "pfnetv2", "dbnet", "sedrfuse"},
+        "pfnetv1", "pfnetv2", "dbnet"},
     "test_model_hiw_path_parity": {"densefuse"},
     "test_myfusion_forward_parity": {"default"},
-    "test_autoencoder_mode": {"densefuse", "nestfuse"},
-    "test_myfusion_share_levels": {"2"},
+    "test_autoencoder_mode": {"densefuse"},
     "test_myfusion_design_space": {"plain-mix", "nest-sep"},
     "test_parity_all_eligible_models_4tiles": {"densefuse", "ifcnn"},
     "test_convert_structure": {"deepfuse", "densefuse", "vifnet",

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-5 queue 4c: int8 acceptance ACROSS THE (skip x residency) GRID.
+# Queue 4's full-set leg failed on TPU at dQabf 5.37e-3 (CALIB=8) even
+# though the CPU fold probe predicted 2.5e-4 — and queue 4 only ran
+# acceptance under the r5 default MMIF_HIW_INT8_RES=1, so the new
+# int8-resident inter-layer requantization is the prime suspect and was
+# never isolated. This queue runs the res=0 acceptance legs plus the
+# skip-dec1 x residency benches, then a grid-aware autoflip
+# (tools/r5_autoflip_int8b.py) that picks the fastest ACCEPTED combo.
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+exec > >(tee -a /root/repo/docs/r5_queue_results.log) 2>&1
+
+echo "=== $(date) r5q4c health check"
+timeout 600 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices())
+print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
+" || { echo 'TPU DOWN - aborting r5q4c'; exit 1; }
+
+echo "=== $(date) int8 acceptance grid: full set res=0 (CALIB=8)"
+MMIF_HIW_INT8_RES=0 CALIB=8 LIMIT=4 \
+  timeout 3000 python tools/int8_acceptance.py deepfuse
+echo "--- exit: $?"
+
+echo "=== $(date) int8 acceptance grid: skip-dec1 res=0 (CALIB=8)"
+MMIF_HIW_INT8_RES=0 MMIF_INT8_SKIP=dec1 CALIB=8 LIMIT=4 \
+  timeout 3000 python tools/int8_acceptance.py deepfuse
+echo "--- exit: $?"
+
+echo "=== $(date) int8 bench grid: skip-dec1 res=1"
+BENCH_INT8=1 MMIF_INT8_SKIP=dec1 timeout 1500 python bench.py
+echo "--- exit: $?"
+
+echo "=== $(date) int8 bench grid: skip-dec1 res=0"
+BENCH_INT8=1 MMIF_INT8_SKIP=dec1 MMIF_HIW_INT8_RES=0 \
+  timeout 1500 python bench.py
+echo "--- exit: $?"
+
+echo "=== $(date) r5 int8 grid autoflip"
+timeout 3600 python tools/r5_autoflip_int8b.py
+echo "--- autoflip_int8b exit: $?"

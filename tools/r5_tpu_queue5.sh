@@ -17,8 +17,11 @@ print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r5q5'; exit 1; }
 
 echo "=== $(date) hiw nest gate + timing (nestfuse, rfnnest)"
+# timeout trimmed 12000 -> 5400 so the autoflip + re-bench still get a
+# slot before round end; the probe emits one JSON line per model as it
+# goes, value-ordered, and the autoflip folds whatever completed
 MODELS=nestfuse,rfnnest,unfusion,myfusion,res2fusion,mafusion,dbnet,pfnetv2 ITERS=3 LIMIT=3 \
-  timeout 12000 python tools/probe_hiw_zoo.py
+  timeout 5400 python tools/probe_hiw_zoo.py
 echo "--- probe_hiw_zoo exit: $?"
 
 echo "=== $(date) r5 multi-leg default autoflip (nest)"
@@ -27,7 +30,7 @@ echo "--- autoflip_multi exit: $?"
 
 echo "=== $(date) zoo re-bench: heavy-tail models under the gated defaults"
 # (queue 2b already re-measured the four flat models post-flip)
-timeout 9000 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion dbnet pfnetv2
+timeout 5400 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion dbnet pfnetv2
 echo "--- bench_zoo exit: $?"
 git add docs/zoo_bench.jsonl && git commit -m "Re-bench the gated H-major zoo rows (nest + flipped flat models)" || true
 

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-5 queue 4c: int8 acceptance ACROSS THE (skip x residency) GRID.
+# Round-5 queue 5b (was 4c): int8 acceptance ACROSS THE (skip x residency) GRID.
 # Queue 4's full-set leg failed on TPU at dQabf 5.37e-3 (CALIB=8) even
 # though the CPU fold probe predicted 2.5e-4 — and queue 4 only ran
 # acceptance under the r5 default MMIF_HIW_INT8_RES=1, so the new

@@ -100,8 +100,19 @@ def main():
     print(f"r5 autoflip_int8b: bench={bench}")
 
     bf16 = bench.get("bf16")
-    cands = [(bench[k], k) for k, ok in accept.items()
-             if ok and k in bench]
+    # margin proxy: a combo without its own bench leg (the skip-dec1
+    # benches were dropped for queue time) borrows the full-set bench at
+    # MATCHING residency — skip-dec1 only moves one of six legs to bf16,
+    # and the driver re-measures bench.py at round end so the recorded
+    # headline is the real number either way.
+    def bench_of(k):
+        if k in bench:
+            return bench[k]
+        proxy = ("full", k[1])
+        return bench.get(proxy)
+
+    cands = [(bench_of(k), k) for k, ok in accept.items()
+             if ok and bench_of(k) is not None]
     if not cands:
         ok_only = [k for k, ok in accept.items() if ok]
         print(f"r5 autoflip_int8b: no accepted+benched combo "
@@ -117,7 +128,10 @@ def main():
                             "TPU acceptance (queue 4/4c grid)"])
         return 0
 
-    best, (skip, res) = max(cands)
+    # tie-break toward the full set (faster, no bf16 leg) when the
+    # proxy gives equal numbers
+    best, _, (skip, res) = max(
+        (v, 1 if k[0] == "full" else 0, k) for v, k in cands)
     print(f"r5 autoflip_int8b: best accepted combo ({skip}, {res}) "
           f"at {best} pairs/s (bf16={bf16})")
 

@@ -28,14 +28,10 @@ MMIF_HIW_INT8_RES=0 MMIF_INT8_SKIP=dec1 CALIB=8 LIMIT=4 \
   timeout 3000 python tools/int8_acceptance.py deepfuse
 echo "--- exit: $?"
 
-echo "=== $(date) int8 bench grid: skip-dec1 res=1"
-BENCH_INT8=1 MMIF_INT8_SKIP=dec1 timeout 1500 python bench.py
-echo "--- exit: $?"
-
-echo "=== $(date) int8 bench grid: skip-dec1 res=0"
-BENCH_INT8=1 MMIF_INT8_SKIP=dec1 MMIF_HIW_INT8_RES=0 \
-  timeout 1500 python bench.py
-echo "--- exit: $?"
+# (skip-dec1 bench legs dropped for time: the autoflip uses the queue-4
+# full-set bench at matching residency as the margin proxy — skip-dec1
+# only moves one of six legs to bf16, and the driver re-measures
+# bench.py itself at round end, so the recorded headline is real.)
 
 echo "=== $(date) r5 int8 grid autoflip"
 timeout 3600 python tools/r5_autoflip_int8b.py

@@ -28,12 +28,8 @@ echo "=== $(date) r5 multi-leg default autoflip (nest)"
 timeout 2400 python tools/r5_autoflip_multi.py
 echo "--- autoflip_multi exit: $?"
 
-echo "=== $(date) zoo re-bench: heavy-tail models under the gated defaults"
-# (queue 2b already re-measured the four flat models post-flip)
-timeout 5400 python tools/bench_zoo.py nestfuse rfnnest unfusion myfusion res2fusion mafusion dbnet pfnetv2
-echo "--- bench_zoo exit: $?"
-git add docs/zoo_bench.jsonl && git commit -m "Re-bench the gated H-major zoo rows (nest + flipped flat models)" || true
-
-echo "=== $(date) heavy-tail section breakdown (res2fusion/myfusion/unfusion)"
-timeout 5400 python tools/probe_tail_breakdown.py res2fusion myfusion unfusion
-echo "--- probe_tail_breakdown exit: $?"
+echo "=== $(date) fold probe ON-path timings into the zoo table"
+# cheap CPU fold so the zoo rows reflect the measured H-major wins even
+# if the canonical bench.py re-bench (queue 5c) runs out of round time
+timeout 600 python tools/r5_fold_probe_zoo.py
+echo "--- fold_probe_zoo exit: $?"

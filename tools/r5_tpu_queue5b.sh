@@ -18,6 +18,30 @@ print(jax.devices())
 print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).mean()))
 " || { echo 'TPU DOWN - aborting r5q4c'; exit 1; }
 
+echo "=== $(date) hiw gate retry: models lost to stochastic remote-compile 500s"
+# the probe doesn't retry HTTP 500s the way bench_zoo does; re-run any
+# heavy-tail model whose queue-5 record is an error, then re-fold
+RETRY=$(python - <<'EOF'
+import sys
+sys.path.insert(0, "tools")
+from r5_autoflip_multi import parse
+recs = parse("docs/r5_queue_results.log")
+heavy = ["nestfuse", "rfnnest", "unfusion", "myfusion",
+         "res2fusion", "mafusion", "dbnet", "pfnetv2"]
+print(",".join(n for n in heavy
+               if n in recs and recs[n].get("error")))
+EOF
+)
+if [ -n "$RETRY" ]; then
+  echo "retrying: $RETRY"
+  MODELS=$RETRY ITERS=3 LIMIT=3 timeout 2700 python tools/probe_hiw_zoo.py
+  echo "--- probe retry exit: $?"
+  timeout 2400 python tools/r5_autoflip_multi.py
+  echo "--- autoflip_multi (retry) exit: $?"
+  timeout 600 python tools/r5_fold_probe_zoo.py
+  echo "--- fold (retry) exit: $?"
+fi
+
 echo "=== $(date) int8 acceptance grid: full set res=0 (CALIB=8)"
 MMIF_HIW_INT8_RES=0 CALIB=8 LIMIT=4 \
   timeout 3000 python tools/int8_acceptance.py deepfuse

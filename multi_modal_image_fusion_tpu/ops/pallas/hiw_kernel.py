@@ -69,7 +69,7 @@ HIW_MULTI_DEFAULT = True
 # the first ')' — keep it on one line with no parentheses in between.
 # nestfuse/rfnnest start blocklisted: C-major default until queue 5
 # measures + gates their new hiw paths.
-HIW_MULTI_BLOCKLIST = ("dbnet", "mafusion", "myfusion", "nestfuse", "pfnetv2", "res2fusion", "rfnnest", "unfusion", )
+HIW_MULTI_BLOCKLIST = ("dbnet", "mafusion", "myfusion", "unfusion", )
 
 
 def hiw_multi_enabled(model=None):
